@@ -356,11 +356,33 @@ def convex_iou(gt_quads: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     Argument order mirrors the reference wrapper `convex_overlaps(gt, points)`
     (mmdet/ops/iou/iou_wrapper.py:23-33): rows = gt quads (k, 8),
     cols = point sets (n, 18).
+
+    The point-set hulls do not depend on the gt, so they are computed once
+    per set and only the pairwise intersection is vmapped over the full
+    (k, n) product — unlike the reference kernel, which re-runs Jarvis per
+    pair (convex_iou_kernel.cu:298-312).
     """
+    pts = points.reshape(points.shape[0], -1, 2).astype(jnp.float32)
+    quads = gt_quads.reshape(gt_quads.shape[0], 4, 2).astype(jnp.float32)
+    # Common shift for f32 robustness (translation-invariant result).
+    shift = jnp.mean(quads.reshape(-1, 2), axis=0)
+    pts = pts - shift
+    quads = quads - shift
+
+    hulls, _, counts = jax.vmap(convex_hull)(pts)
+    area_p = jax.vmap(polygon_area)(hulls, counts)  # (n,)
+    area_q = jax.vmap(polygon_area)(quads)  # (k,)
+
+    def pair(hull, cnt, ap, quad, aq):
+        inter = convex_intersection_area(hull, cnt, quad)
+        union = ap + aq - inter
+        return inter / jnp.maximum(union, _EPS)
+
     fn = jax.vmap(
-        jax.vmap(convex_iou_single, in_axes=(0, None)), in_axes=(None, 0)
+        jax.vmap(pair, in_axes=(0, 0, 0, None, None)),
+        in_axes=(None, None, None, 0, 0),
     )
-    return fn(points, gt_quads)
+    return fn(hulls, counts, area_p, quads, area_q)
 
 
 def convex_giou(points: jnp.ndarray, gt_quads: jnp.ndarray) -> jnp.ndarray:
