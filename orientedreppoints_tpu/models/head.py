@@ -1,0 +1,126 @@
+"""OrientedRepPoints dense head (forward only; losses live in core/).
+
+Reference parity (mmdet/models/anchor_heads/orientedreppoints_head.py):
+  * two 3-conv GN+ReLU towers (cls / reg) (:94-112, _init_layers);
+  * init points: conv3x3+relu -> conv1x1 to 2*num_points (dy,dx) offsets
+    (:122-127, forward_single :157-160);
+  * gradient_mul blend: 0.7 * stop_grad(pts) + 0.3 * pts (config
+    gradient_mul=0.3; forward_single :162);
+  * DCN over (pts - base_grid) offsets feeds both the cls branch and the
+    refine branch (:163-166); refine output adds stop_grad(init) (:168);
+  * cls_out bias initialized for focal loss prior 0.01 (:140-141), all conv
+    weights normal(std 0.01) (init_weights :134-146);
+  * returns per-level (cls_score, pts_init, pts_refine, base_feat) — the raw
+    FPN feature is carried for APAA adaptive point-feature sampling (:171).
+
+Layout: NHWC; offsets channel pairs are (dy, dx) per point, matching the
+reference layout so offset decoding (core/points.py) is shared.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.deform_conv import dcn_base_offset, deform_conv2d
+from .layers import ConvModule, conv_kernel_init
+
+
+def bias_init_with_prob(prior: float) -> float:
+    return -math.log((1 - prior) / prior)
+
+
+class OrientedRepPointsHead(nn.Module):
+    num_classes: int = 16  # incl. background; sigmoid cls over 15 fg classes
+    feat_channels: int = 256
+    point_feat_channels: int = 256
+    stacked_convs: int = 3
+    num_points: int = 9
+    gradient_mul: float = 0.3
+    dtype: Any = jnp.float32
+
+    @property
+    def cls_out_channels(self) -> int:
+        return self.num_classes - 1
+
+    @nn.compact
+    def __call__(self, feats):
+        """feats: tuple of per-level NHWC maps. Returns dict of per-level
+        lists: cls_scores, pts_init, pts_refine, base_feats."""
+        outs = {"cls_scores": [], "pts_init": [], "pts_refine": [],
+                "base_feats": []}
+        # shared (across levels) conv stacks, like the reference head
+        shared = self._build()
+        for x in feats:
+            cls_out, init_out, refine_out = self._forward_single(x, shared)
+            outs["cls_scores"].append(cls_out)
+            outs["pts_init"].append(init_out)
+            outs["pts_refine"].append(refine_out)
+            outs["base_feats"].append(x)
+        return outs
+
+    def _build(self):
+        pts_dim = 2 * self.num_points
+        mods = {}
+        mods["cls_convs"] = [
+            ConvModule(self.feat_channels, 3, norm="gn", dtype=self.dtype,
+                       name=f"cls_conv_{i}")
+            for i in range(self.stacked_convs)
+        ]
+        mods["reg_convs"] = [
+            ConvModule(self.feat_channels, 3, norm="gn", dtype=self.dtype,
+                       name=f"reg_conv_{i}")
+            for i in range(self.stacked_convs)
+        ]
+        mods["pts_init_conv"] = nn.Conv(
+            self.point_feat_channels, (3, 3), padding=1, dtype=self.dtype,
+            kernel_init=conv_kernel_init, name="pts_init_conv")
+        mods["pts_init_out"] = nn.Conv(
+            pts_dim, (1, 1), dtype=self.dtype, kernel_init=conv_kernel_init,
+            name="pts_init_out")
+        # DCN kernels stored (K, Cin, Cout)
+        mods["cls_dcn_weight"] = self.param(
+            "cls_dcn_weight", nn.initializers.normal(0.01),
+            (self.num_points, self.feat_channels, self.point_feat_channels))
+        mods["refine_dcn_weight"] = self.param(
+            "refine_dcn_weight", nn.initializers.normal(0.01),
+            (self.num_points, self.feat_channels, self.point_feat_channels))
+        mods["cls_out"] = nn.Conv(
+            self.cls_out_channels, (1, 1), dtype=self.dtype,
+            kernel_init=conv_kernel_init,
+            bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
+            name="cls_out")
+        mods["pts_refine_out"] = nn.Conv(
+            pts_dim, (1, 1), dtype=self.dtype, kernel_init=conv_kernel_init,
+            name="pts_refine_out")
+        return mods
+
+    def _forward_single(self, x, m):
+        cls_feat = x
+        pts_feat = x
+        for conv in m["cls_convs"]:
+            cls_feat = conv(cls_feat)
+        for conv in m["reg_convs"]:
+            pts_feat = conv(pts_feat)
+
+        pts_out_init = m["pts_init_out"](
+            nn.relu(m["pts_init_conv"](pts_feat)))  # (B,H,W,2*pts), (dy,dx)
+
+        grad_mul = (1 - self.gradient_mul) * jax.lax.stop_gradient(
+            pts_out_init) + self.gradient_mul * pts_out_init
+        base = jnp.asarray(dcn_base_offset(int(np.sqrt(self.num_points))),
+                           dtype=grad_mul.dtype)
+        dcn_offset = grad_mul - base
+
+        cls_dcn = deform_conv2d(cls_feat, dcn_offset, m["cls_dcn_weight"])
+        cls_out = m["cls_out"](nn.relu(cls_dcn))
+
+        refine_dcn = deform_conv2d(pts_feat, dcn_offset, m["refine_dcn_weight"])
+        pts_out_refine = m["pts_refine_out"](nn.relu(refine_dcn))
+        pts_out_refine = pts_out_refine + jax.lax.stop_gradient(pts_out_init)
+        return cls_out, pts_out_init, pts_out_refine

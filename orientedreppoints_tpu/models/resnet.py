@@ -1,0 +1,136 @@
+"""ResNet backbone (NHWC, frozen-BN), torchvision-compatible structure.
+
+Reference parity (mmdet/models/backbones/resnet.py):
+  * depths 18/34/50/101/152 via BasicBlock / Bottleneck (resnet.py:26-28);
+  * style='pytorch': the stride-2 conv is the 3x3 inside the bottleneck;
+  * norm_eval=True + frozen running stats -> FrozenBatchNorm here;
+  * frozen_stages handled outside the module by masking the optimizer
+    (parameters stay in the tree so converters map 1:1);
+  * out_indices (0,1,2,3) -> C2..C5 feature maps at strides 4/8/16/32.
+
+The stem and blocks run in a configurable compute dtype (bfloat16 by
+default on TPU) with f32 params; FrozenBN folds to a single multiply-add.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import FrozenBatchNorm
+
+ARCH_SETTINGS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+_he_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class _ConvBN(nn.Module):
+    features: int
+    kernel: int
+    strides: int = 1
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.strides, self.strides),
+            padding=[(self.kernel // 2,) * 2] * 2,
+            use_bias=False,
+            dtype=self.dtype,
+            kernel_init=_he_init,
+            name="conv",
+        )(x)
+        x = FrozenBatchNorm(self.features, dtype=self.dtype, name="bn")(x)
+        if self.act:
+            x = nn.relu(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    features: int
+    strides: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = _ConvBN(self.features, 3, self.strides, dtype=self.dtype, name="conv1")(x)
+        out = _ConvBN(self.features, 3, 1, act=False, dtype=self.dtype, name="conv2")(out)
+        if self.downsample:
+            identity = _ConvBN(
+                self.features, 1, self.strides, act=False, dtype=self.dtype,
+                name="downsample",
+            )(x)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    features: int  # bottleneck width; output = 4 * features
+    strides: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = _ConvBN(self.features, 1, 1, dtype=self.dtype, name="conv1")(x)
+        # pytorch style: stride on the 3x3
+        out = _ConvBN(self.features, 3, self.strides, dtype=self.dtype, name="conv2")(out)
+        out = _ConvBN(self.features * 4, 1, 1, act=False, dtype=self.dtype, name="conv3")(out)
+        if self.downsample:
+            identity = _ConvBN(
+                self.features * 4, 1, self.strides, act=False,
+                dtype=self.dtype, name="downsample",
+            )(x)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet backbone returning the feature maps at out_indices."""
+
+    depth: int = 50
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        block_type, stage_blocks = ARCH_SETTINGS[self.depth]
+        block_cls = BasicBlock if block_type == "basic" else Bottleneck
+
+        x = x.astype(self.dtype)
+        x = _ConvBN(64, 7, 2, dtype=self.dtype, name="stem")(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        outs = []
+        width = 64
+        expansion = 1 if block_type == "basic" else 4
+        for stage, num_blocks in enumerate(stage_blocks):
+            stride = 1 if stage == 0 else 2
+            for blk in range(num_blocks):
+                blk_stride = stride if blk == 0 else 1
+                needs_ds = blk == 0 and (
+                    blk_stride != 1 or x.shape[-1] != width * expansion
+                )
+                x = block_cls(
+                    width,
+                    strides=blk_stride,
+                    downsample=needs_ds,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{blk}",
+                )(x)
+            if stage in self.out_indices:
+                outs.append(x)
+            width *= 2
+        return tuple(outs)

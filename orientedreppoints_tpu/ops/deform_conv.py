@@ -1,0 +1,113 @@
+"""Deformable convolution (DCNv1) as bilinear gather + MXU matmul.
+
+Reference: mmdet/ops/dcn/src/deform_conv_cuda_kernel.cu — im2col with
+bilinear sampling at (p0 + p_k + Δp_k), then GEMM.  The TPU-native design
+keeps the same math but expresses it as:
+
+  1. compute all sample coordinates (static shapes, vectorized),
+  2. one batched gather of the 4 bilinear corners from the feature map,
+  3. a single einsum over (kernel position, channel) -> MXU matmul.
+
+Offsets follow the reference channel layout: (B, H, W, 2*K) with (dy, dx)
+pairs per kernel position k, k row-major over the 3x3 grid
+(orientedreppoints_head.py:83-90 dcn_base_offset construction).
+
+Sampling uses zero padding outside the feature map (matching the CUDA
+bilinear with border zeroing).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def dcn_base_offset(kernel_size: int = 3) -> np.ndarray:
+    """(1, 1, 1, 2*K) base grid offsets in (dy, dx) pairs, k row-major.
+
+    Matches the reference buffer (orientedreppoints_head.py:83-90).
+    """
+    pad = (kernel_size - 1) // 2
+    base = np.arange(-pad, pad + 1, dtype=np.float32)
+    base_y = np.repeat(base, kernel_size)
+    base_x = np.tile(base, kernel_size)
+    return np.stack([base_y, base_x], axis=1).reshape(1, 1, 1, -1)
+
+
+def bilinear_gather(feat: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray):
+    """Bilinear sample feat at float positions with zero padding.
+
+    feat: (B, H, W, C); py, px: (B, ...) float sample coords (pixel units).
+    Returns (B, ..., C).
+    """
+    b, h, w, c = feat.shape
+    out_shape = py.shape[1:]
+    py = py.reshape(b, -1)
+    px = px.reshape(b, -1)
+
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    wy = py - y0
+    wx = px - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    flat = feat.reshape(b, h * w, c)
+
+    def corner(yi, xi):
+        ok = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        vals = jnp.take_along_axis(flat, idx[:, :, None], axis=1)
+        return vals * ok[:, :, None].astype(feat.dtype)
+
+    v00 = corner(y0i, x0i)
+    v01 = corner(y0i, x0i + 1)
+    v10 = corner(y0i + 1, x0i)
+    v11 = corner(y0i + 1, x0i + 1)
+    wy = wy[..., None].astype(feat.dtype)
+    wx = wx[..., None].astype(feat.dtype)
+    out = (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+    return out.reshape((b,) + out_shape + (c,))
+
+
+def deform_conv2d(
+    feat: jnp.ndarray,
+    offsets: jnp.ndarray,
+    weight: jnp.ndarray,
+    kernel_size: int = 3,
+) -> jnp.ndarray:
+    """DCNv1 forward.
+
+    Args:
+      feat: (B, H, W, Cin) input features.
+      offsets: (B, H, W, 2*K) deformation offsets, (dy, dx) per position k
+        *relative to the base grid* (the caller passes pts - base like the
+        reference head, so effective sample = p0 + pts).
+      weight: (K, Cin, Cout) kernel (k row-major over the kernel window).
+
+    Returns:
+      (B, H, W, Cout). Stride 1, zero padding, no bias (reference DeformConv
+      in the head has bias=False).
+    """
+    b, h, w, cin = feat.shape
+    k = weight.shape[0]
+    base = jnp.asarray(dcn_base_offset(kernel_size), dtype=offsets.dtype)
+    off = offsets + base  # (B,H,W,2K): absolute (dy,dx) from output pixel
+    off = off.reshape(b, h, w, k, 2)
+    iy = jnp.arange(h, dtype=offsets.dtype)[None, :, None, None]
+    ix = jnp.arange(w, dtype=offsets.dtype)[None, None, :, None]
+    py = off[..., 0] + iy  # (B,H,W,K)
+    px = off[..., 1] + ix
+    samples = bilinear_gather(feat, py, px)  # (B,H,W,K,Cin)
+    return jnp.einsum(
+        "bhwkc,kco->bhwo",
+        samples,
+        weight.astype(samples.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(feat.dtype)

@@ -1,0 +1,86 @@
+"""DCNv1 parity vs a direct numpy bilinear-im2col oracle.
+
+The oracle mirrors the reference CUDA semantics
+(mmdet/ops/dcn/src/deform_conv_cuda_kernel.cu): sample at
+p0 + base_k + offset_k with bilinear interpolation and zero padding, then
+contract with the kernel.  torch.nn.functional.conv2d checks the
+zero-offset special case.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from orientedreppoints_tpu.ops.deform_conv import deform_conv2d, dcn_base_offset
+
+torch = pytest.importorskip("torch")
+
+
+def _bilinear(feat, y, x):
+    """feat (H, W, C); zero outside."""
+    h, w, c = feat.shape
+    y0, x0 = int(np.floor(y)), int(np.floor(x))
+    out = np.zeros((c,), dtype=np.float64)
+    for yy, wy in ((y0, 1 - (y - y0)), (y0 + 1, y - y0)):
+        for xx, wx in ((x0, 1 - (x - x0)), (x0 + 1, x - x0)):
+            if 0 <= yy < h and 0 <= xx < w:
+                out = out + feat[yy, xx] * wy * wx
+    return out
+
+
+def _dcn_oracle(feat, rel, weight):
+    b, h, w, cin = feat.shape
+    k, _, cout = weight.shape
+    base = dcn_base_offset(3).reshape(9, 2)
+    out = np.zeros((b, h, w, cout), dtype=np.float64)
+    for bi in range(b):
+        for i in range(h):
+            for j in range(w):
+                for kk in range(k):
+                    dy, dx = rel[bi, i, j, 2 * kk], rel[bi, i, j, 2 * kk + 1]
+                    py = i + base[kk, 0] + dy
+                    px = j + base[kk, 1] + dx
+                    s = _bilinear(feat[bi], py, px)
+                    out[bi, i, j] += s @ weight[kk]
+    return out.astype(np.float32)
+
+
+def test_matches_oracle(rng):
+    b, h, w, cin, cout = 2, 6, 7, 4, 3
+    feat = rng.randn(b, h, w, cin).astype(np.float32)
+    rel = (rng.randn(b, h, w, 18) * 2.0).astype(np.float32)
+    weight = rng.randn(9, cin, cout).astype(np.float32) * 0.2
+    got = np.asarray(
+        deform_conv2d(jnp.asarray(feat), jnp.asarray(rel), jnp.asarray(weight))
+    )
+    expect = _dcn_oracle(feat, rel, weight)
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_zero_offsets_is_plain_conv(rng):
+    b, h, w, cin, cout = 1, 6, 6, 4, 3
+    feat = rng.randn(b, h, w, cin).astype(np.float32)
+    weight = rng.randn(9, cin, cout).astype(np.float32)
+    got = np.asarray(
+        deform_conv2d(
+            jnp.asarray(feat), jnp.zeros((b, h, w, 18), jnp.float32),
+            jnp.asarray(weight),
+        )
+    )
+    t_in = torch.from_numpy(feat.transpose(0, 3, 1, 2))
+    t_w = torch.from_numpy(
+        weight.reshape(3, 3, cin, cout).transpose(3, 2, 0, 1).copy()
+    )
+    expect = torch.nn.functional.conv2d(t_in, t_w, padding=1)
+    expect = expect.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_base_offset_layout():
+    base = dcn_base_offset(3).reshape(9, 2)
+    # k row-major over (ky, kx): y slow, x fast
+    assert base[0].tolist() == [-1, -1]
+    assert base[1].tolist() == [-1, 0]
+    assert base[3].tolist() == [0, -1]
+    assert base[8].tolist() == [1, 1]
