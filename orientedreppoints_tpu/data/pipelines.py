@@ -1,0 +1,352 @@
+"""Host-side data pipeline: polygon-aware transforms on a results dict.
+
+Reference parity (mmdet/datasets/pipelines/{loading,transforms}.py):
+  * LoadImageFromFile / LoadAnnotations — BGR image + (n, 8) gt polys
+    (loading.py:11,84; DotaDataset keeps the 8-coord polygon bbox,
+    mmdet/datasets/dota.py:44-82);
+  * CorrectBox — snap each gt poly to cv2.minAreaRect corners (int64 cast
+    first!), optional first-point refinement picking the corner closest to
+    the original first point (transforms.py:43-82);
+  * RotateResize — multiscale 'range' sampling of (long, short) edges,
+    keep-ratio rescale, scale_factor applied to polys, optional clamping
+    (transforms.py:85-200);
+  * RotateRandomFlip — poly-aware flip with the `dim - x - 1` convention
+    (transforms.py:203-270);
+  * HSVAugment — hue/sat/val LUT gains (transforms.py:1156-1215);
+  * Normalize (mean/std, BGR->RGB) and Pad to size_divisor=32.
+
+Each transform is a callable class over the results dict; `build_pipeline`
+assembles them from mmdet-style {'type': ...} config dicts so reference
+configs can be reused nearly verbatim.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Any, Sequence
+
+import cv2
+import numpy as np
+
+PIPELINES = {}
+
+
+def register(cls):
+    PIPELINES[cls.__name__] = cls
+    return cls
+
+
+def build_pipeline(cfgs: Sequence[dict]):
+    steps = []
+    for cfg in cfgs:
+        cfg = dict(cfg)
+        t = cfg.pop("type")
+        steps.append(PIPELINES[t](**cfg))
+
+    def run(results):
+        for s in steps:
+            results = s(results)
+            if results is None:
+                return None
+        return results
+
+    return run
+
+
+@register
+class LoadImageFromFile:
+    def __init__(self, to_float32: bool = False):
+        self.to_float32 = to_float32
+
+    def __call__(self, results):
+        path = osp.join(results.get("img_prefix", ""), results["img_info"]["file_name"])
+        img = cv2.imread(path)  # BGR, like mmcv.imread
+        if img is None:
+            raise FileNotFoundError(path)
+        if self.to_float32:
+            img = img.astype(np.float32)
+        results["filename"] = path
+        results["img"] = img
+        results["img_shape"] = img.shape
+        results["ori_shape"] = img.shape
+        results["bbox_fields"] = []
+        return results
+
+
+@register
+class LoadAnnotations:
+    def __init__(self, with_bbox: bool = True):
+        self.with_bbox = with_bbox
+
+    def __call__(self, results):
+        ann = results["ann_info"]
+        if self.with_bbox:
+            results["gt_bboxes"] = ann["bboxes"].astype(np.float32).reshape(-1, 8)
+            results["gt_labels"] = ann["labels"].astype(np.int64)
+            results["bbox_fields"].append("gt_bboxes")
+        return results
+
+
+@register
+class CorrectBox:
+    def __init__(self, correct_rbbox: bool = True, refine_rbbox: bool = False):
+        self.correct_rbbox = correct_rbbox
+        self.refine_rbbox = refine_rbbox
+
+    def _correct_one(self, poly8):
+        pts = poly8.astype(np.int64).reshape(4, 2)
+        (cx, cy), (w, h), theta = cv2.minAreaRect(pts.astype(np.float32))
+        rect = cv2.boxPoints(((cx, cy), (w, h), theta)).reshape(-1)
+        if not self.refine_rbbox:
+            return rect
+        # rotate the rect corners so corner 0 is nearest the original p0
+        corners = rect.reshape(4, 2)
+        d = np.linalg.norm(corners - pts[0], axis=1)
+        i = int(np.argmin(d))
+        # tie semantics: reference keeps the LAST minimal index (uses <=)
+        i = int(np.where(d <= d[i])[0][-1])
+        return np.roll(corners, -i, axis=0).reshape(-1)
+
+    def __call__(self, results):
+        if self.correct_rbbox and len(results["gt_bboxes"]):
+            results["gt_bboxes"] = np.stack(
+                [self._correct_one(p) for p in results["gt_bboxes"]]
+            ).astype(np.float32)
+        return results
+
+
+def imrescale(img, scale, interpolation=cv2.INTER_LINEAR):
+    """mmcv.imrescale parity: fit inside (long, short) keeping aspect."""
+    h, w = img.shape[:2]
+    if isinstance(scale, (int, float)):
+        factor = scale
+    else:
+        max_long, max_short = max(scale), min(scale)
+        factor = min(max_long / max(h, w), max_short / min(h, w))
+    new_size = (int(w * factor + 0.5), int(h * factor + 0.5))
+    out = cv2.resize(img, new_size, interpolation=interpolation)
+    return out, factor
+
+
+@register
+class RotateResize:
+    def __init__(
+        self,
+        img_scale=None,
+        multiscale_mode: str = "range",
+        ratio_range=None,
+        keep_ratio: bool = True,
+        clamp_rbbox: bool = True,
+    ):
+        if img_scale is None:
+            self.img_scale = None
+        elif isinstance(img_scale, list):
+            self.img_scale = [tuple(s) for s in img_scale]
+        else:
+            self.img_scale = [tuple(img_scale)]
+        self.multiscale_mode = multiscale_mode
+        self.ratio_range = ratio_range
+        self.keep_ratio = keep_ratio
+        self.clamp_rbbox = clamp_rbbox
+
+    def _random_scale(self):
+        if self.ratio_range is not None:
+            lo, hi = self.ratio_range
+            r = np.random.random_sample() * (hi - lo) + lo
+            return int(self.img_scale[0][0] * r), int(self.img_scale[0][1] * r)
+        if len(self.img_scale) == 1:
+            return self.img_scale[0]
+        if self.multiscale_mode == "range":
+            longs = [max(s) for s in self.img_scale]
+            shorts = [min(s) for s in self.img_scale]
+            long_e = np.random.randint(min(longs), max(longs) + 1)
+            short_e = np.random.randint(min(shorts), max(shorts) + 1)
+            return (long_e, short_e)
+        idx = np.random.randint(len(self.img_scale))
+        return self.img_scale[idx]
+
+    def __call__(self, results):
+        scale = results.get("scale") or self._random_scale()
+        if self.keep_ratio:
+            img, factor = imrescale(results["img"], scale)
+            scale_factor = factor
+        else:
+            h, w = results["img"].shape[:2]
+            img = cv2.resize(results["img"], (scale[0], scale[1]))
+            scale_factor = np.array(
+                [scale[0] / w, scale[1] / h] * 4, np.float32
+            )
+        results["img"] = img
+        results["img_shape"] = img.shape
+        results["pad_shape"] = img.shape
+        results["scale_factor"] = scale_factor
+        for key in results.get("bbox_fields", []):
+            b = results[key] * scale_factor
+            if self.clamp_rbbox and len(b):
+                b[:, 0::2] = np.clip(b[:, 0::2], 0, img.shape[1] - 1)
+                b[:, 1::2] = np.clip(b[:, 1::2], 0, img.shape[0] - 1)
+            results[key] = b
+        return results
+
+
+@register
+class RotateRandomFlip:
+    def __init__(self, flip_ratio=0.0, direction=("horizontal",)):
+        self.flip_ratio = flip_ratio or 0.0
+        self.direction = list(direction)
+
+    def __call__(self, results):
+        if "flip" not in results:
+            results["flip"] = bool(np.random.rand() < self.flip_ratio)
+        if "flip_direction" not in results:
+            results["flip_direction"] = str(np.random.choice(self.direction))
+        if results["flip"]:
+            d = results["flip_direction"]
+            results["img"] = (
+                results["img"][:, ::-1] if d == "horizontal" else results["img"][::-1]
+            ).copy()
+            h, w = results["img_shape"][:2]
+            for key in results.get("bbox_fields", []):
+                b = results[key].copy()
+                if d == "horizontal":
+                    b[..., 0::2] = w - results[key][..., 0::2] - 1
+                else:
+                    b[..., 1::2] = h - results[key][..., 1::2] - 1
+                results[key] = b
+        return results
+
+
+@register
+class HSVAugment:
+    def __init__(self, hgain=0.015, sgain=0.7, vgain=0.4):
+        self.gains = (hgain, sgain, vgain)
+
+    def __call__(self, results):
+        img = results["img"]
+        r = np.random.uniform(-1, 1, 3) * np.array(self.gains) + 1
+        hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
+        x = np.arange(0, 256, dtype=np.int16)
+        lut_h = ((x * r[0]) % 180).astype(img.dtype)
+        lut_s = np.clip(x * r[1], 0, 255).astype(img.dtype)
+        lut_v = np.clip(x * r[2], 0, 255).astype(img.dtype)
+        hsv = cv2.merge(
+            (cv2.LUT(hue, lut_h), cv2.LUT(sat, lut_s), cv2.LUT(val, lut_v))
+        )
+        results["img"] = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+        return results
+
+
+@register
+class Normalize:
+    def __init__(self, mean, std, to_rgb: bool = True):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.to_rgb = to_rgb
+
+    def __call__(self, results):
+        img = results["img"].astype(np.float32)
+        if self.to_rgb:
+            img = img[..., ::-1]
+        results["img"] = (img - self.mean) / self.std
+        results["img_norm_cfg"] = dict(
+            mean=self.mean, std=self.std, to_rgb=self.to_rgb
+        )
+        return results
+
+
+@register
+class Pad:
+    def __init__(self, size=None, size_divisor: int | None = None):
+        self.size = size
+        self.size_divisor = size_divisor
+
+    def __call__(self, results):
+        img = results["img"]
+        if self.size is not None:
+            th, tw = self.size
+        else:
+            d = self.size_divisor
+            th = int(np.ceil(img.shape[0] / d)) * d
+            tw = int(np.ceil(img.shape[1] / d)) * d
+        out = np.zeros((th, tw) + img.shape[2:], dtype=img.dtype)
+        out[: img.shape[0], : img.shape[1]] = img
+        results["img"] = out
+        results["pad_shape"] = out.shape
+        return results
+
+
+@register
+class FilterEmpty:
+    """Drop samples with no gt (CustomDataset skips empty-ann images)."""
+
+    def __call__(self, results):
+        if len(results.get("gt_bboxes", [])) == 0:
+            return None
+        return results
+
+
+@register
+class PolyRandomRotate:
+    """Arbitrary-angle rotation with poly->rbox filtering.
+
+    Reference parity (poly_transforms.py:348-471): rotate with probability
+    rotate_ratio by angle ~ U(-angles_range, angles_range) degrees around
+    the image center (auto_bound expands the canvas); polys are transformed,
+    converted to rboxes, filtered (center inside bounds, w > 5, h > 5),
+    and re-emitted as polys; samples losing all gts are dropped (the
+    reference returns None, which our loader skips).
+    """
+
+    def __init__(self, rotate_ratio=0.5, angles_range=180, auto_bound=False):
+        self.rotate_ratio = rotate_ratio
+        self.angles_range = angles_range
+        self.auto_bound = auto_bound
+
+    def __call__(self, results):
+        from ..core.rbox import poly2rbox, rbox2poly
+
+        if np.random.rand() < self.rotate_ratio:
+            angle = float(np.random.uniform(-self.angles_range,
+                                            self.angles_range))
+            results["rotate"] = True
+        else:
+            angle = 0.0
+            results["rotate"] = False
+        results["rotate_angle"] = angle
+
+        h, w = results["img_shape"][:2]
+        center = (w / 2.0, h / 2.0)
+        if self.auto_bound:
+            rad = np.deg2rad(angle)
+            abs_cos, abs_sin = abs(np.cos(rad)), abs(np.sin(rad))
+            bound_w = int(np.rint(h * abs_sin + w * abs_cos))
+            bound_h = int(np.rint(h * abs_cos + w * abs_sin))
+        else:
+            bound_w, bound_h = w, h
+        rm = cv2.getRotationMatrix2D(center, angle, 1.0)
+        if self.auto_bound:
+            rm[0, 2] += bound_w / 2.0 - center[0]
+            rm[1, 2] += bound_h / 2.0 - center[1]
+
+        results["img"] = cv2.warpAffine(
+            results["img"], rm, (bound_w, bound_h)
+        )
+        results["img_shape"] = (bound_h, bound_w) + results["img"].shape[2:]
+
+        polys = results.get("gt_bboxes", np.zeros((0, 8), np.float32))
+        labels = results.get("gt_labels", np.zeros((0,), np.int64))
+        if len(polys):
+            pts = polys.reshape(-1, 2)
+            pts = pts @ rm[:, :2].T + rm[:, 2]
+            rboxes = poly2rbox(pts.reshape(-1, 8))
+            keep = (
+                (rboxes[:, 0] > 0) & (rboxes[:, 0] < bound_w)
+                & (rboxes[:, 1] > 0) & (rboxes[:, 1] < bound_h)
+                & (rboxes[:, 2] > 5) & (rboxes[:, 3] > 5)
+            )
+            rboxes, labels = rboxes[keep], labels[keep]
+            if len(rboxes) == 0:
+                return None
+            results["gt_bboxes"] = rbox2poly(rboxes).astype(np.float32)
+            results["gt_labels"] = labels
+        return results

@@ -1,4 +1,10 @@
-from .detector import OrientedRepPointsDetector, decode_detections, POINT_STRIDES
+from .detector import (
+    OrientedRepPointsDetector,
+    POINT_STRIDES,
+    decode_detections,
+    decode_no_nms,
+    merge_aug_and_nms,
+)
 from .fpn import FPN
 from .head import OrientedRepPointsHead
 from .resnet import ResNet
@@ -12,4 +18,6 @@ __all__ = [
     "ResNet",
     "SwinTransformer",
     "decode_detections",
+    "decode_no_nms",
+    "merge_aug_and_nms",
 ]

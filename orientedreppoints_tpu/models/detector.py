@@ -37,22 +37,35 @@ class OrientedRepPointsDetector(nn.Module):
     num_classes: int = 16
     fpn_out_channels: int = 256
     num_levels: int = 5
+    fpn_start_level: int | None = None  # default: 1 for resnet, 0 for swin
+    fpn_add_extra_convs: bool | None = None  # default: True resnet, False swin
     dtype: Any = jnp.float32
     backbone_kwargs: dict = None
 
     @nn.compact
-    def __call__(self, images):
+    def __call__(self, images, deterministic: bool = True):
         """images: (B, H, W, 3) normalized. Returns head output dict."""
         kw = self.backbone_kwargs or {}
         if self.backbone_type == "resnet":
-            feats = ResNet(depth=self.depth, dtype=self.dtype, name="backbone", **kw)(images)
+            feats = ResNet(depth=self.depth, dtype=self.dtype,
+                           name="backbone", **kw)(images)
+            start, extra = 1, True
         elif self.backbone_type == "swin":
-            feats = SwinTransformer(dtype=self.dtype, name="backbone", **kw)(images)
+            # swin emits C3..C5 already (out_indices (1,2,3), swin config
+            # :22); its FPN uses start_level 0 and maxpool extra levels
+            feats = SwinTransformer(dtype=self.dtype, name="backbone",
+                                    **kw)(images, deterministic)
+            start, extra = 0, False
         else:
             raise ValueError(self.backbone_type)
+        if self.fpn_start_level is not None:
+            start = self.fpn_start_level
+        if self.fpn_add_extra_convs is not None:
+            extra = self.fpn_add_extra_convs
         feats = FPN(
             out_channels=self.fpn_out_channels, num_outs=self.num_levels,
-            start_level=1, dtype=self.dtype, name="neck",
+            start_level=start, add_extra_convs=extra, dtype=self.dtype,
+            name="neck",
         )(feats)
         return OrientedRepPointsHead(
             num_classes=self.num_classes, dtype=self.dtype, name="bbox_head",
@@ -118,10 +131,76 @@ def decode_detections(
         [jnp.zeros_like(all_scores[..., :1]), all_scores], axis=-1
     )
 
-    def per_image(boxes, scores, pts):
+    def per_image(args):
+        boxes, scores, pts = args
         return multiclass_rnms(
             boxes, scores, score_thr, iou_thr, max_per_img,
             reppoints=pts if with_reppoints else None,
         )
 
-    return jax.vmap(per_image)(all_boxes, padded, all_pts)
+    # lax.map (not vmap): the NMS pairwise-IoU temporaries are large, and
+    # batching them across images multiplies peak HBM by B; images run
+    # sequentially through one compiled NMS instance instead.
+    return jax.lax.map(per_image, (all_boxes, padded, all_pts))
+
+
+def decode_no_nms(
+    outs: dict,
+    strides: Sequence[int] = POINT_STRIDES,
+    nms_pre: int = 2000,
+):
+    """Per-level topk decode WITHOUT NMS (aug_test path, head nms=False).
+
+    Returns (boxes (B, N, 8), padded_scores (B, N, C+1)) in the test-scale
+    frame (rescale=False), mirroring get_bboxes(..., nms=False)
+    (orientedreppoints_detector.py:118-127).
+    """
+    from ..ops.geometry import min_area_rect
+
+    lvl_scores, lvl_pts = [], []
+    for lvl, stride in enumerate(strides):
+        s = outs["cls_scores"][lvl]
+        p = outs["pts_refine"][lvl]
+        bb, h, w, c = s.shape
+        scores = jax.nn.sigmoid(s.reshape(bb, h * w, c).astype(jnp.float32))
+        pts_img = P.offset_to_pts(p.astype(jnp.float32), stride)
+        k = min(nms_pre, h * w)
+        _, topk = jax.lax.top_k(jnp.max(scores, axis=-1), k)
+        lvl_scores.append(jnp.take_along_axis(scores, topk[..., None], 1))
+        lvl_pts.append(jnp.take_along_axis(pts_img, topk[..., None], 1))
+    all_scores = jnp.concatenate(lvl_scores, axis=1)
+    all_pts = jnp.concatenate(lvl_pts, axis=1)
+    all_boxes = jax.vmap(min_area_rect)(all_pts)
+    padded = jnp.concatenate(
+        [jnp.zeros_like(all_scores[..., :1]), all_scores], axis=-1
+    )
+    return all_boxes, padded
+
+
+def merge_aug_and_nms(
+    aug_boxes,
+    aug_scores,
+    flips,
+    img_shape,
+    scale_factor,
+    score_thr: float = 0.05,
+    iou_thr: float = 0.4,
+    max_per_img: int = 2000,
+):
+    """Flip-TTA merge: map each aug's boxes back, concat, one rotated NMS.
+
+    aug_boxes: list of (N, 8) per aug; aug_scores: list of (N, C+1);
+    flips: list of bool (horizontal); mirrors merge_aug_results + rnms
+    (orientedreppoints_detector.py:81-136).
+    """
+    recovered = []
+    for boxes, flip in zip(aug_boxes, flips):
+        if flip:
+            flipped = boxes.at[:, 0::2].set(img_shape[1] - boxes[:, 0::2] - 1)
+            boxes = flipped
+        recovered.append(boxes / scale_factor)
+    boxes = jnp.concatenate(recovered, axis=0)
+    scores = jnp.concatenate(aug_scores, axis=0)
+    return multiclass_rnms(
+        boxes, scores, score_thr, iou_thr, max_per_img, reppoints=None
+    )

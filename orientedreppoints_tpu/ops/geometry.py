@@ -131,10 +131,12 @@ def _masked_shoelace(poly: jnp.ndarray, count) -> jnp.ndarray:
     """Signed shoelace area of the first `count` vertices of poly (N,2)."""
     n = poly.shape[0]
     idx = jnp.arange(n)
-    nxt = jnp.where(idx >= count - 1, 0, idx + 1)
-    # Shoelace relative to the first vertex for f32 robustness.
+    # Shoelace relative to the first vertex for f32 robustness.  The "next
+    # vertex" map wraps at `count`; expressed as roll + a static-index fixup
+    # so no per-row dynamic gather is emitted (gathers serialize on TPU).
     p = poly - poly[0]
-    q = p[nxt]
+    rolled = jnp.roll(p, -1, axis=0)
+    q = jnp.where((idx == count - 1)[:, None], p[0], rolled)
     terms = p[:, 0] * q[:, 1] - q[:, 0] * p[:, 1]
     terms = jnp.where(idx < count, terms, 0.0)
     return 0.5 * jnp.sum(terms)
@@ -229,7 +231,93 @@ def _segment_intersections(a0, a1, b0, b1):
 
 
 # ---------------------------------------------------------------------------
+# Sort-free Sutherland-Hodgman clipping (TPU-fast path)
+#
+# Each half-plane clip emits, per input edge, up to 2 vertices (crossing
+# point, then the end vertex when inside).  Instead of a data-dependent
+# compaction (gather/sort — slow on TPU), positions are assigned with a
+# cumulative sum over emit flags and vertices are moved with a one-hot
+# matmul, so the whole pipeline is dense vector/matrix ops.
+# ---------------------------------------------------------------------------
+
+
+def _orient_ccw_quad(quad: jnp.ndarray) -> jnp.ndarray:
+    """(4, 2) quad -> CCW order (flip if the shoelace is negative)."""
+    area2 = _masked_shoelace(quad, 4)
+    return jnp.where(area2 >= 0, quad, quad[::-1])
+
+
+def _clip_half_plane(verts, count, a, b, out_cap: int):
+    """Clip a masked polygon by the half-plane left of edge a->b.
+
+    verts: (V, 2) with `count` valid leading verts (CCW); a, b: (2,).
+    Returns (out_verts (out_cap, 2), out_count).
+    """
+    v = verts.shape[0]
+    idx = jnp.arange(v)
+    valid = idx < count
+    cur = verts
+    # next-vertex map without a dynamic gather: roll + wrap fixup
+    nxtv = jnp.where(
+        (idx == count - 1)[:, None], verts[0], jnp.roll(verts, -1, axis=0)
+    )
+    e = b - a
+    side_cur = e[0] * (cur[:, 1] - a[1]) - e[1] * (cur[:, 0] - a[0])
+    side_nxt = e[0] * (nxtv[:, 1] - a[1]) - e[1] * (nxtv[:, 0] - a[0])
+    in_cur = side_cur >= 0
+    in_nxt = side_nxt >= 0
+    denom = side_cur - side_nxt
+    t = side_cur / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    inter = cur + t[:, None] * (nxtv - cur)
+
+    # per edge: slot 0 = crossing point (entering or leaving),
+    #           slot 1 = next vertex (when inside)
+    emit0 = valid & (in_cur != in_nxt)
+    emit1 = valid & in_nxt
+    cand = jnp.stack([inter, nxtv], axis=1).reshape(2 * v, 2)
+    emit = jnp.stack([emit0, emit1], axis=1).reshape(2 * v)
+
+    pos = jnp.cumsum(emit.astype(jnp.int32)) - 1  # target slot per candidate
+    out_count = jnp.sum(emit.astype(jnp.int32))
+    # one-hot scatter: out[j] = sum_i cand[i] * (emit_i & pos_i == j).
+    # Written as broadcast-multiply-reduce (VPU), NOT einsum/dot — a tiny
+    # batched matmul would pad each pair to a full MXU tile and serialize.
+    onehot = (
+        emit[:, None] & (pos[:, None] == jnp.arange(out_cap)[None, :])
+    ).astype(cand.dtype)  # (2V, out_cap)
+    out = jnp.sum(onehot[:, :, None] * cand[:, None, :], axis=0)
+    return out, out_count
+
+
+def clip_convex_by_quad(verts: jnp.ndarray, count, quad: jnp.ndarray,
+                        out_cap: int | None = None):
+    """Clip a masked convex polygon by a convex quad (any winding).
+
+    verts: (V, 2) CCW with `count` valid; quad: (4, 2).
+    Returns (poly (out_cap, 2), count); out_cap defaults to V + 4.
+    """
+    q = _orient_ccw_quad(quad.reshape(4, 2))
+    cap = out_cap or (verts.shape[0] + 4)
+    p, c = verts, count
+    for i in range(4):
+        p, c = _clip_half_plane(p, c, q[i], q[(i + 1) % 4], cap)
+    return p, c
+
+
+def _ccw_masked(poly, count):
+    """Masked polygon -> CCW orientation (conditional reverse).
+
+    The reversed valid prefix [v_{c-1}, ..., v_0, pad...] equals a static
+    full reverse followed by a dynamic roll — no per-row gather.
+    """
+    area2 = _masked_shoelace(poly, count)
+    reversed_poly = jnp.roll(poly[::-1], count, axis=0)
+    return jnp.where(area2 >= 0, poly, reversed_poly)
+
+
+# ---------------------------------------------------------------------------
 # Convex-convex intersection area via vertex collection + angular sort
+# (general fallback; the quad paths use the S-H pipeline above)
 # ---------------------------------------------------------------------------
 
 
@@ -280,6 +368,13 @@ def convex_intersection_area(
     """
     if count_q is None:
         count_q = poly_q.shape[0]
+    if poly_q.shape[0] == 4:
+        # fast sort-free path: S-H clip of the CCW subject by the quad
+        subj = _ccw_masked(poly_p, count_p)
+        clipped, ccount = clip_convex_by_quad(subj, count_p, poly_q)
+        return polygon_area(clipped, ccount)
+
+    # general fallback: vertex collection + angular sort
     p_in_q = _points_in_convex_masked(poly_p, poly_q, None, count_q)
     q_in_p = _points_in_convex_masked(poly_q, poly_p, None, count_p)
     np_, nq = poly_p.shape[0], poly_q.shape[0]
@@ -362,6 +457,8 @@ def convex_iou(gt_quads: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     (k, n) product — unlike the reference kernel, which re-runs Jarvis per
     pair (convex_iou_kernel.cu:298-312).
     """
+    from .pallas_quad_iou import hull_quad_iou_matrix_pallas
+
     pts = points.reshape(points.shape[0], -1, 2).astype(jnp.float32)
     quads = gt_quads.reshape(gt_quads.shape[0], 4, 2).astype(jnp.float32)
     # Common shift for f32 robustness (translation-invariant result).
@@ -370,19 +467,10 @@ def convex_iou(gt_quads: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     quads = quads - shift
 
     hulls, _, counts = jax.vmap(convex_hull)(pts)
-    area_p = jax.vmap(polygon_area)(hulls, counts)  # (n,)
-    area_q = jax.vmap(polygon_area)(quads)  # (k,)
-
-    def pair(hull, cnt, ap, quad, aq):
-        inter = convex_intersection_area(hull, cnt, quad)
-        union = ap + aq - inter
-        return inter / jnp.maximum(union, _EPS)
-
-    fn = jax.vmap(
-        jax.vmap(pair, in_axes=(0, 0, 0, None, None)),
-        in_axes=(None, None, None, 0, 0),
-    )
-    return fn(hulls, counts, area_p, quads, area_q)
+    iou = hull_quad_iou_matrix_pallas(
+        hulls, counts, quads.reshape(-1, 8)
+    )  # (n_pointsets, n_gt)
+    return iou.T
 
 
 def convex_giou(points: jnp.ndarray, gt_quads: jnp.ndarray) -> jnp.ndarray:
@@ -492,15 +580,14 @@ def quad_iou_single(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
     a = q1.reshape(4, 2).astype(jnp.float32)
     b = q2.reshape(4, 2).astype(jnp.float32)
     shift = jnp.mean(a, axis=0)
-    a = a - shift
+    a = _orient_ccw_quad(a - shift)
     b = b - shift
-    # Quads from min_area_rect / gt are convex; take hulls to be safe about
-    # vertex order (hull also canonicalizes orientation).
-    ha, ma, ca = convex_hull(a)
-    hb, mb, cb = convex_hull(b)
-    inter = convex_intersection_area(ha, ca, hb, cb)
-    area_a = polygon_area(ha, ca)
-    area_b = polygon_area(hb, cb)
+    # Quads from min_area_rect / gt / NMS are convex in traversal order, so
+    # no hull is needed — one orientation flip + the sort-free S-H clip.
+    clipped, ccount = clip_convex_by_quad(a, 4, b, out_cap=8)
+    inter = polygon_area(clipped, ccount)
+    area_a = polygon_area(a)
+    area_b = polygon_area(b)
     return inter / jnp.maximum(area_a + area_b - inter, _EPS)
 
 

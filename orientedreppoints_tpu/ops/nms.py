@@ -44,23 +44,15 @@ def rotated_nms_mask(
     Returns:
       keep: (N,) bool mask in the ORIGINAL order.
     """
+    from .pallas_quad_iou import quad_iou_matrix_pallas
+
     n = quads.shape[0]
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
     order = jnp.argsort(jnp.where(valid, scores, _NEG))[::-1]
     squads = quads[order]
     svalid = valid[order]
-    # Row-chunked pairwise IoU: the vmapped exact-polygon kernel carries
-    # ~50 f32 temporaries per pair, so a full (N, N) product would
-    # materialize tens of GB at N=4096. Chunking keeps peak memory at
-    # chunk*N*50*4B while staying fully on-device.
-    chunk = 256
-    pad = (-n) % chunk
-    padded = jnp.pad(squads, ((0, pad), (0, 0)))
-    rows = padded.reshape(-1, chunk, 8)
-    iou = jax.lax.map(
-        lambda r: quad_iou_matrix(r, squads), rows
-    ).reshape(-1, n)[:n]
+    iou = quad_iou_matrix_pallas(squads, squads)  # fused Pallas tile kernel
     over = iou > iou_thr
 
     def body(i, state):

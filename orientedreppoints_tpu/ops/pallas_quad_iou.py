@@ -1,0 +1,233 @@
+"""Fused Pallas TPU kernels for exact pairwise convex-polygon IoU.
+
+These replace the vmapped-XLA pair kernels on the hot paths (rotated NMS's
+(N, N) matrix and the refine assigner's (G, N) matrix).  One output tile is
+(8 sublanes x 128 lanes) of pairs; all geometry runs as unrolled static
+loops of elementwise VPU ops — no gathers, no sorts, no tiny matmuls (each
+of which serializes or pads to MXU tiles under vmap).
+
+Algorithm per pair: Sutherland-Hodgman clip of the subject polygon by the
+4 half-planes of the (CCW-oriented) clip quad, with cumulative-position
+one-hot compaction, then masked shoelace.  Matches the reference CUDA
+semantics (mmdet/ops/iou/src/convex_iou_kernel.cu) to f32 precision.
+
+Subject variants:
+  * quad subject (4 verts)  -> rnms pairwise IoU (rnms_kernel.cu)
+  * hull subject (<=9 verts + count) -> convex_overlaps for the assigner
+    (convex hull computed once per point set outside the kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TM = 8  # sublanes: subject rows per tile
+TN = 128  # lanes: clip rows per tile
+_EPS = 1e-8
+
+
+def _shoelace_quad(x, y):
+    """Signed 2x area of a 4-gon given lists of 4 coordinate arrays."""
+    s = 0.0
+    for k in range(4):
+        kn = (k + 1) % 4
+        s = s + (x[k] * y[kn] - x[kn] * y[k])
+    return s
+
+
+def _clip_stage(vx, vy, cnt, ex, ey, e0x, e0y, out_cap):
+    """One half-plane clip: keep the side left of edge (e0 -> e0+e).
+
+    vx/vy: lists of (TM, TN) vertex coords; cnt: (TM, TN) int32 count.
+    Returns new (vx, vy, cnt) with out_cap slots.
+    """
+    cap = len(vx)
+    side = [ex * (vy[j] - e0y) - ey * (vx[j] - e0x) for j in range(cap)]
+
+    cand_x, cand_y, emit = [], [], []
+    for j in range(cap):
+        jn = (j + 1) % cap
+        wrap = cnt == (j + 1)
+        nx = jnp.where(wrap, vx[0], vx[jn])
+        ny = jnp.where(wrap, vy[0], vy[jn])
+        s_nxt = jnp.where(wrap, side[0], side[jn])
+        valid = cnt > j
+        in_cur = side[j] >= 0
+        in_nxt = s_nxt >= 0
+        denom = side[j] - s_nxt
+        t = side[j] / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+        ix = vx[j] + t * (nx - vx[j])
+        iy = vy[j] + t * (ny - vy[j])
+        # slot 0: crossing point; slot 1: next vertex when inside
+        cand_x += [ix, nx]
+        cand_y += [iy, ny]
+        emit += [valid & (in_cur != in_nxt), valid & in_nxt]
+
+    zeros_i = jnp.zeros_like(cnt)
+    pos = []
+    running = zeros_i
+    for e in emit:
+        pos.append(running)
+        running = running + e.astype(jnp.int32)
+
+    new_vx, new_vy = [], []
+    for jo in range(out_cap):
+        ox = jnp.zeros_like(cand_x[0])
+        oy = jnp.zeros_like(cand_y[0])
+        for c in range(len(emit)):
+            put = emit[c] & (pos[c] == jo)
+            ox = jnp.where(put, cand_x[c], ox)
+            oy = jnp.where(put, cand_y[c], oy)
+        new_vx.append(ox)
+        new_vy.append(oy)
+    return new_vx, new_vy, running
+
+
+def _masked_shoelace_slots(vx, vy, cnt):
+    """Signed 2x area over the first cnt slots (ring with wrap at cnt)."""
+    cap = len(vx)
+    s = 0.0
+    for j in range(cap):
+        jn = (j + 1) % cap
+        wrap = cnt == (j + 1)
+        nx = jnp.where(wrap, vx[0], vx[jn])
+        ny = jnp.where(wrap, vy[0], vy[jn])
+        term = vx[j] * ny - nx * vy[j]
+        s = s + jnp.where(cnt > j, term, 0.0)
+    return s
+
+
+def _iou_from_subject(sub_x, sub_y, sub_cnt, sub_area2, b_ref):
+    """Shared tail: orient clip quad CCW, clip, emit IoU tile.
+
+    sub_x/sub_y: subject vertex lists ((TM, TN) each); b_ref: (8, TN).
+    """
+    bx = [b_ref[2 * k : 2 * k + 1, :] for k in range(4)]
+    by = [b_ref[2 * k + 1 : 2 * k + 2, :] for k in range(4)]
+    area2_b = _shoelace_quad(bx, by)  # (1, TN)
+    flip = area2_b < 0
+    ccw = lambda arr, k: jnp.where(flip, arr[(4 - k) % 4], arr[k])
+    bxc = [ccw(bx, k) for k in range(4)]
+    byc = [ccw(by, k) for k in range(4)]
+
+    vx, vy, cnt = sub_x, sub_y, sub_cnt
+    cap = len(vx)
+    for e in range(4):
+        en = (e + 1) % 4
+        ex = bxc[en] - bxc[e]
+        ey = byc[en] - byc[e]
+        cap = min(cap + 1, len(vx) + 4)
+        vx, vy, cnt = _clip_stage(vx, vy, cnt, ex, ey, bxc[e], byc[e], cap)
+
+    inter = 0.5 * jnp.abs(_masked_shoelace_slots(vx, vy, cnt))
+    area_a = 0.5 * jnp.abs(sub_area2)
+    area_b = 0.5 * jnp.abs(area2_b)
+    union = jnp.maximum(area_a + area_b - inter, _EPS)
+    return inter / union
+
+
+def _quad_kernel(a_ref, b_ref, out_ref):
+    """a_ref: (TM, 8) subject quads; b_ref: (8, TN) clip quads (transposed);
+    out_ref: (TM, TN) IoU."""
+    # recenter every pair at the clip quad's first vertex for f32 safety
+    # (class-offset NMS coordinates reach ~3e4)
+    ox = b_ref[0:1, :]
+    oy = b_ref[1:2, :]
+    ax = [a_ref[:, 2 * k : 2 * k + 1] - ox for k in range(4)]
+    ay = [a_ref[:, 2 * k + 1 : 2 * k + 2] - oy for k in range(4)]
+    area2_a = _shoelace_quad(ax, ay)
+    b_cent = b_ref[:, :] - jnp.tile(
+        jnp.concatenate([ox, oy], axis=0), (4, 1)
+    )
+    cnt = jnp.full(ax[0].shape, 4, jnp.int32) + jnp.zeros(
+        (1, b_ref.shape[1]), jnp.int32
+    )
+    out_ref[:, :] = _iou_from_subject(ax, ay, cnt, area2_a, b_cent)
+
+
+def _hull_kernel(h_ref, c_ref, b_ref, out_ref):
+    """h_ref: (TM, 18) subject hull verts (padded by repeating v0);
+    c_ref: (TM, 1) int32 vertex counts; b_ref: (8, TN); out: (TM, TN)."""
+    ox = b_ref[0:1, :]
+    oy = b_ref[1:2, :]
+    hx = [h_ref[:, 2 * k : 2 * k + 1] - ox for k in range(9)]
+    hy = [h_ref[:, 2 * k + 1 : 2 * k + 2] - oy for k in range(9)]
+    cnt0 = c_ref[:, 0:1] + jnp.zeros((1, b_ref.shape[1]), jnp.int32)
+    area2 = _masked_shoelace_slots(hx, hy, cnt0)
+    b_cent = b_ref[:, :] - jnp.tile(
+        jnp.concatenate([ox, oy], axis=0), (4, 1)
+    )
+    out_ref[:, :] = _iou_from_subject(hx, hy, cnt0, area2, b_cent)
+
+
+def _pad_to(x, m, axis):
+    pad = (-x.shape[axis]) % m
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=())
+def quad_iou_matrix_pallas(quads_a: jnp.ndarray, quads_b: jnp.ndarray):
+    """(N, 8) x (M, 8) -> (N, M) exact convex-quad IoU (f32)."""
+    n, m = quads_a.shape[0], quads_b.shape[0]
+    a = _pad_to(quads_a.astype(jnp.float32), TM, 0)
+    b = _pad_to(quads_b.astype(jnp.float32), TN, 0)
+    bt = b.T  # (8, Mp)
+    np_, mp = a.shape[0], bt.shape[1]
+    out = pl.pallas_call(
+        _quad_kernel,
+        out_shape=jax.ShapeDtypeStruct((np_, mp), jnp.float32),
+        grid=(np_ // TM, mp // TN),
+        in_specs=[
+            pl.BlockSpec((TM, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TN), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(a, bt)
+    return out[:n, :m]
+
+
+def hull_quad_iou_matrix_pallas(
+    hulls: jnp.ndarray, counts: jnp.ndarray, quads: jnp.ndarray
+):
+    """(N, 9, 2) hulls (+ (N,) counts) x (M, 8) quads -> (N, M) IoU."""
+    n, m = hulls.shape[0], quads.shape[0]
+    h = _pad_to(hulls.reshape(n, 18).astype(jnp.float32), TM, 0)
+    c = _pad_to(counts.reshape(n, 1).astype(jnp.int32), TM, 0)
+    b = _pad_to(quads.astype(jnp.float32), TN, 0)
+    bt = b.T
+    np_, mp = h.shape[0], bt.shape[1]
+    out = pl.pallas_call(
+        _hull_kernel,
+        out_shape=jax.ShapeDtypeStruct((np_, mp), jnp.float32),
+        grid=(np_ // TM, mp // TN),
+        in_specs=[
+            pl.BlockSpec((TM, 18), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TN), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(h, c, bt)
+    return out[:n, :m]

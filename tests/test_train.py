@@ -1,0 +1,184 @@
+"""End-to-end training-step tests: loss computation, gradient flow, and
+data-parallel sharding over the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from orientedreppoints_tpu.core.loss_head import LossConfig, compute_losses
+from orientedreppoints_tpu.models import OrientedRepPointsDetector
+from orientedreppoints_tpu.parallel import (
+    TrainState,
+    build_optimizer,
+    lr_schedule,
+    make_train_step,
+)
+
+IMG = 128
+MAX_GT = 8
+
+
+def make_batch(rng, b):
+    imgs = rng.rand(b, IMG, IMG, 3).astype(np.float32)
+    gt_polys = np.zeros((b, MAX_GT, 8), np.float32)
+    gt_labels = np.zeros((b, MAX_GT), np.int32)
+    gt_valid = np.zeros((b, MAX_GT), bool)
+    for i in range(b):
+        n = rng.randint(1, 4)
+        for j in range(n):
+            cx, cy = rng.rand(2) * 80 + 24
+            w, h = rng.rand(2) * 40 + 10
+            a = rng.rand() * np.pi
+            c, s = np.cos(a), np.sin(a)
+            r = np.array([[-w/2, -h/2], [w/2, -h/2], [w/2, h/2], [-w/2, h/2]])
+            gt_polys[i, j] = ((r @ [[c, s], [-s, c]]) + [cx, cy]).reshape(-1)
+            gt_labels[i, j] = rng.randint(1, 16)
+            gt_valid[i, j] = True
+    return {
+        "images": jnp.asarray(imgs),
+        "gt_polys": jnp.asarray(gt_polys),
+        "gt_labels": jnp.asarray(gt_labels),
+        "gt_valid": jnp.asarray(gt_valid),
+        "img_hw": jnp.full((b, 2), IMG, jnp.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = OrientedRepPointsDetector(depth=18, num_classes=16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3), jnp.float32)
+    )
+    cfg = LossConfig(max_pos=64)
+    return model, variables, cfg
+
+
+class TestLosses:
+    def test_loss_values_finite(self, setup, rng):
+        model, variables, cfg = setup
+        batch = make_batch(rng, 2)
+        outs = model.apply(variables, batch["images"])
+        losses = compute_losses(
+            outs, batch["gt_polys"], batch["gt_labels"], batch["gt_valid"],
+            batch["img_hw"], cfg,
+        )
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), (k, float(v))
+        assert float(losses["num_pos"]) > 0
+        assert float(losses["loss_cls"]) > 0
+        assert float(losses["loss_rbox_refine"]) > 0
+
+    def test_empty_gt_image(self, setup, rng):
+        model, variables, cfg = setup
+        batch = make_batch(rng, 2)
+        batch["gt_valid"] = jnp.zeros_like(batch["gt_valid"])
+        outs = model.apply(variables, batch["images"])
+        losses = compute_losses(
+            outs, batch["gt_polys"], batch["gt_labels"], batch["gt_valid"],
+            batch["img_hw"], cfg,
+        )
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), k
+        assert float(losses["num_pos"]) == 0
+        assert float(losses["loss_cls"]) == 0  # reference zeroes on no pos
+
+    def test_grads_flow(self, setup, rng):
+        model, variables, cfg = setup
+        batch = make_batch(rng, 1)
+
+        def loss_fn(params):
+            outs = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch["images"],
+            )
+            losses = compute_losses(
+                outs, batch["gt_polys"], batch["gt_labels"],
+                batch["gt_valid"], batch["img_hw"], cfg,
+            )
+            return sum(v for k, v in losses.items() if k.startswith("loss"))
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+        nonzero = 0
+        for path, g in flat:
+            assert np.all(np.isfinite(np.asarray(g))), path
+            if np.any(np.asarray(g) != 0):
+                nonzero += 1
+        # the vast majority of parameters must receive gradient
+        assert nonzero > 0.8 * len(flat)
+
+
+class TestTrainStep:
+    def test_mesh_train_step(self, setup, rng):
+        model, variables, cfg = setup
+        # fresh copies: the train step donates its input state
+        params = jax.tree.map(jnp.copy, variables["params"])
+        assert len(jax.devices()) == 8
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        sched = lr_schedule(iters_per_epoch=10)
+        tx = build_optimizer(params, sched)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=jax.tree.map(jnp.copy, variables["batch_stats"]),
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+        step_fn = make_train_step(model, cfg, mesh=mesh)
+        batch = make_batch(rng, 8)
+        p0 = np.asarray(jax.tree.leaves(state.params)[0])  # before donation
+        state2, losses = step_fn(state, batch)
+        assert int(state2.step) == 1
+        assert np.isfinite(float(losses["loss_total"]))
+        # params actually changed
+        p1 = np.asarray(jax.tree.leaves(state2.params)[0])
+        assert not np.allclose(p0, p1)
+
+    def test_frozen_params_not_updated(self, setup, rng):
+        from orientedreppoints_tpu.parallel.train import (
+            default_frozen_prefixes,
+        )
+        model, variables, cfg = setup
+        params = jax.tree.map(jnp.copy, variables["params"])
+        sched = lr_schedule(iters_per_epoch=10)
+        tx = build_optimizer(
+            params, sched,
+            frozen_prefixes=default_frozen_prefixes(1),
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=jax.tree.map(jnp.copy, variables["batch_stats"]),
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+        step_fn = make_train_step(model, cfg)
+        batch = make_batch(rng, 1)
+        stem0 = np.asarray(state.params["backbone"]["stem"]["conv"]["kernel"])
+        l1_0 = np.asarray(
+            state.params["backbone"]["layer1_0"]["conv1"]["conv"]["kernel"]
+        )
+        l2_0 = np.asarray(
+            state.params["backbone"]["layer2_0"]["conv1"]["conv"]["kernel"]
+        )
+        state2, _ = step_fn(state, batch)
+        stem1 = state2.params["backbone"]["stem"]["conv"]["kernel"]
+        np.testing.assert_array_equal(stem0, np.asarray(stem1))
+        l1_1 = state2.params["backbone"]["layer1_0"]["conv1"]["conv"]["kernel"]
+        np.testing.assert_array_equal(l1_0, np.asarray(l1_1))
+        # non-frozen stage did update
+        l2_1 = state2.params["backbone"]["layer2_0"]["conv1"]["conv"]["kernel"]
+        assert not np.allclose(l2_0, np.asarray(l2_1))
+
+
+class TestSchedule:
+    def test_lr_schedule(self):
+        sched = lr_schedule(base_lr=0.008, iters_per_epoch=100)
+        assert float(sched(jnp.asarray(0))) == pytest.approx(0.008 / 3)
+        assert float(sched(jnp.asarray(500))) == pytest.approx(0.008)
+        assert float(sched(jnp.asarray(2399))) == pytest.approx(0.008)
+        assert float(sched(jnp.asarray(2400))) == pytest.approx(0.0008)
+        assert float(sched(jnp.asarray(3200))) == pytest.approx(8e-5)
+        assert float(sched(jnp.asarray(3800))) == pytest.approx(8e-6)

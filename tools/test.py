@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Run inference over a dataset and emit DOTA-format results.
+
+CLI surface mirrors the reference tools/test.py:93+ (config, checkpoint,
+--out, --format_task1, --eval) with the pkl replaced by a portable .npz;
+tools/parse_pkl's pkl -> Task1-txt conversion is built in via
+--format_task1 (devkit.result_merge handles the cross-tile merge).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orientedreppoints_tpu.core.rbox import rbbox2result
+from orientedreppoints_tpu.models import decode_detections
+from orientedreppoints_tpu.utils import Config, builder, checkpoint
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test a detector")
+    p.add_argument("config")
+    p.add_argument("--checkpoint", help="orbax checkpoint dir")
+    p.add_argument("--out", help="output .npz path for raw results")
+    p.add_argument("--format_task1", help="dir for per-class Task1 txts")
+    p.add_argument("--merge_dir", help="dir for cross-tile merged txts")
+    p.add_argument("--max_images", type=int)
+    p.add_argument("--batch_size", type=int, default=4)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = Config.fromfile(args.config)
+    logging.basicConfig(level=logging.INFO)
+    log = logging.getLogger("test")
+
+    tpu = cfg.get("tpu", {})
+    model = builder.build_detector(cfg, tpu.get("compute_dtype", "bfloat16"))
+    dataset = builder.build_dataset({**cfg.data["test"], "test_mode": True})
+    tc = cfg.test_cfg
+    canvas = tpu.get("canvas_buckets", [(1344, 1344)])[-1]
+
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1,) + tuple(canvas) + (3,), jnp.float32)
+    )
+    if args.checkpoint:
+        from orientedreppoints_tpu.parallel import TrainState
+
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=variables["params"],
+            batch_stats=variables["batch_stats"], opt_state=(), tx=None,
+        )
+        # restore only params/batch_stats
+        import orbax.checkpoint as ocp
+
+        with ocp.CheckpointManager(osp.abspath(args.checkpoint)) as mngr:
+            step = mngr.latest_step()
+            restored = mngr.restore(
+                step,
+                args=ocp.args.StandardRestore(
+                    {"params": variables["params"],
+                     "batch_stats": variables["batch_stats"]}
+                ),
+            )
+        variables = {"params": restored["params"],
+                     "batch_stats": restored["batch_stats"]}
+        log.info("loaded checkpoint step %s from %s", step, args.checkpoint)
+
+    @jax.jit
+    def infer(v, imgs, scale_factor):
+        outs = model.apply(v, imgs)
+        return decode_detections(
+            outs,
+            nms_pre=tc["nms_pre"],
+            score_thr=tc["score_thr"],
+            iou_thr=tc["nms"]["iou_thr"],
+            max_per_img=tc["max_per_img"],
+            scale_factor=scale_factor,
+        )
+
+    n = len(dataset) if args.max_images is None else min(
+        args.max_images, len(dataset))
+    results = {}
+    num_fg = len(dataset.CLASSES)
+    t0 = time.time()
+    bs = args.batch_size
+    for lo in range(0, n, bs):
+        idxs = list(range(lo, min(lo + bs, n)))
+        imgs, sfs, names = [], [], []
+        for i in idxs:
+            s = dataset[i]
+            img = s["img"]
+            canvas_img = np.zeros(tuple(canvas) + (3,), np.float32)
+            canvas_img[: img.shape[0], : img.shape[1]] = img
+            imgs.append(canvas_img)
+            sfs.append(s.get("scale_factor", 1.0))
+            names.append(osp.splitext(s["img_info"]["file_name"])[0])
+        while len(imgs) < bs:  # pad last batch
+            imgs.append(np.zeros_like(imgs[0]))
+            sfs.append(1.0)
+            names.append(None)
+        dets, labels, valid = infer(
+            variables, jnp.asarray(np.stack(imgs)),
+            jnp.asarray(np.array(sfs, np.float32))[:, None, None],
+        )
+        dets, labels, valid = map(np.asarray, (dets, labels, valid))
+        for bi, name in enumerate(names):
+            if name is None:
+                continue
+            keep = valid[bi]
+            results[name] = rbbox2result(
+                dets[bi][keep][:, -9:], labels[bi][keep], num_fg + 1
+            )
+        if lo == 0:
+            log.info("first batch done (incl. compile) %.1fs", time.time() - t0)
+    dt = time.time() - t0
+    log.info("%d imgs in %.1fs (%.2f img/s)", n, dt, n / max(dt, 1e-9))
+
+    if args.out:
+        np.savez_compressed(
+            args.out,
+            **{f"{k}|{ci}": arr for k, per in results.items()
+               for ci, arr in enumerate(per)},
+        )
+        log.info("wrote %s", args.out)
+
+    if args.format_task1:
+        from orientedreppoints_tpu.devkit.result_merge import (
+            merge_by_poly, write_task1_results,
+        )
+
+        write_task1_results(results, dataset.CLASSES, args.format_task1)
+        log.info("wrote Task1 txts to %s", args.format_task1)
+        if args.merge_dir:
+            merge_by_poly(args.format_task1, args.merge_dir)
+            log.info("merged cross-tile results to %s", args.merge_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Train an oriented detector (TPU data-parallel).
+
+CLI surface mirrors the reference tools/train.py:23-64 (config, work_dir,
+resume_from, seed, deterministic) with TPU-native replacements for the
+launcher flags (SPMD over the local mesh — no torch.distributed.launch).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from orientedreppoints_tpu.parallel import (
+    TrainState, build_optimizer, lr_schedule, make_train_step,
+)
+from orientedreppoints_tpu.parallel.train import default_frozen_prefixes
+from orientedreppoints_tpu.utils import Config, builder, checkpoint
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a detector")
+    p.add_argument("config")
+    p.add_argument("--work_dir")
+    p.add_argument("--resume_from")
+    p.add_argument("--load_from")
+    p.add_argument("--pretrained_backbone", help="local torchvision .pth")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--total_epochs", type=int)
+    p.add_argument("--max_iters", type=int, help="debug: stop early")
+    p.add_argument("--log_interval", type=int, default=50)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = Config.fromfile(args.config)
+    work_dir = args.work_dir or cfg.get("work_dir", "work_dirs/default")
+    os.makedirs(work_dir, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+        handlers=[
+            logging.StreamHandler(),
+            logging.FileHandler(osp.join(work_dir, "train.log")),
+        ],
+    )
+    log = logging.getLogger("train")
+    log.info("devices: %s", jax.devices())
+
+    tpu = cfg.get("tpu", {})
+    model = builder.build_detector(cfg, tpu.get("compute_dtype", "bfloat16"))
+    loss_cfg = builder.build_loss_config(cfg)
+    dataset = builder.build_dataset(cfg.data["train"])
+    loader = builder.build_dataloader(dataset, cfg)
+    iters_per_epoch = max(len(loader), 1)
+    total_epochs = args.total_epochs or cfg.total_epochs
+    log.info("dataset: %d imgs, %d iters/epoch", len(dataset), iters_per_epoch)
+
+    canvas = tpu.get("canvas_buckets", [(1344, 1344)])[-1]
+    rng = jax.random.PRNGKey(args.seed)
+    init_imgs = jnp.zeros((1, canvas[0], canvas[1], 3), jnp.float32)
+    variables = jax.jit(model.init)(rng, init_imgs)
+    if args.pretrained_backbone:
+        variables = checkpoint.load_pretrained_backbone(
+            variables, args.pretrained_backbone,
+            cfg.model["backbone"].get("depth", 50),
+        )
+        log.info("loaded pretrained backbone from %s", args.pretrained_backbone)
+
+    opt = cfg.optimizer
+    sched = lr_schedule(
+        base_lr=opt["lr"],
+        warmup_iters=cfg.lr_config["warmup_iters"],
+        warmup_ratio=cfg.lr_config["warmup_ratio"],
+        step_epochs=cfg.lr_config["step"],
+        iters_per_epoch=iters_per_epoch,
+    )
+    frozen = default_frozen_prefixes(
+        cfg.model["backbone"].get("frozen_stages", 1)
+    )
+    tx = build_optimizer(
+        variables["params"], sched,
+        optimizer=opt["type"].lower(),
+        momentum=opt.get("momentum", 0.9),
+        weight_decay=opt.get("weight_decay", 1e-4),
+        grad_clip=cfg.optimizer_config["grad_clip"]["max_norm"],
+        frozen_prefixes=frozen,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+    )
+    start_epoch = 0
+    if args.resume_from:
+        state, step = checkpoint.load_checkpoint(args.resume_from, state)
+        start_epoch = int(step)
+        log.info("resumed from %s at epoch %d", args.resume_from, start_epoch)
+
+    mesh = Mesh(np.array(jax.devices()), tuple(tpu.get("mesh_axes", ("data",))))
+    step_fn = make_train_step(model, loss_cfg, mesh=mesh)
+
+    ckpt_dir = osp.join(work_dir, "ckpts")
+    it = 0
+    for epoch in range(start_epoch, total_epochs):
+        t_ep = time.time()
+        for batch in loader:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, losses = step_fn(state, batch)
+            if it % args.log_interval == 0:
+                vals = {k: float(v) for k, v in losses.items()}
+                vals["lr"] = float(sched(state.step))
+                log.info("epoch %d iter %d %s", epoch, it, json.dumps(
+                    {k: round(v, 4) for k, v in vals.items()}))
+            it += 1
+            if args.max_iters and it >= args.max_iters:
+                break
+        log.info("epoch %d done in %.1fs", epoch, time.time() - t_ep)
+        checkpoint.save_checkpoint(
+            ckpt_dir, epoch + 1, state,
+            meta=dict(config=cfg.text, classes=dataset.CLASSES),
+        )
+        if args.max_iters and it >= args.max_iters:
+            break
+    log.info("training finished at iter %d", it)
+
+
+if __name__ == "__main__":
+    main()
