@@ -1,0 +1,158 @@
+"""High-level train/inference APIs.
+
+Reference analogues:
+  * inference_detector / init_detector (mmdet/apis/inference.py:16,63);
+  * single_gpu_test (mmdet/apis/test.py:12) -> run_inference;
+  * EvalHook per-epoch validation (core/evaluation/eval_hooks.py) ->
+    evaluate_results (in-memory VOC mAP over oriented polys at tile level).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.rbox import rbbox2result
+from .devkit.polygon import poly_iou
+from .devkit.evaluation import voc_ap
+from .models import decode_detections
+
+
+def init_detector(config, checkpoint_dir: str | None = None,
+                  compute_dtype: str = "bfloat16"):
+    """Build a detector (+ load weights) from a config path or Config."""
+    from .utils import Config, builder
+
+    cfg = Config.fromfile(config) if isinstance(config, str) else config
+    model = builder.build_detector(cfg, compute_dtype)
+    tpu = cfg.get("tpu", {})
+    canvas = tuple(tpu.get("canvas_buckets", [(1344, 1344)])[-1])
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1,) + canvas + (3,), jnp.float32)
+    )
+    if checkpoint_dir:
+        import orbax.checkpoint as ocp
+
+        with ocp.CheckpointManager(osp.abspath(checkpoint_dir)) as mngr:
+            restored = mngr.restore(
+                mngr.latest_step(),
+                args=ocp.args.StandardRestore(
+                    {"params": variables["params"],
+                     "batch_stats": variables["batch_stats"]}
+                ),
+            )
+        variables = {"params": restored["params"],
+                     "batch_stats": restored["batch_stats"]}
+    return model, variables, cfg
+
+
+def run_inference(
+    model, variables, dataset, test_cfg, canvas=(1344, 1344),
+    batch_size: int = 4, max_images: int | None = None, num_fg: int = 15,
+):
+    """Inference over a dataset -> {image_name: [per-class (k, 9) arrays]}."""
+
+    @jax.jit
+    def infer(v, imgs, scale_factor):
+        outs = model.apply(v, imgs)
+        return decode_detections(
+            outs,
+            nms_pre=test_cfg["nms_pre"],
+            score_thr=test_cfg["score_thr"],
+            iou_thr=test_cfg["nms"]["iou_thr"],
+            max_per_img=test_cfg["max_per_img"],
+            scale_factor=scale_factor,
+        )
+
+    n = len(dataset) if max_images is None else min(max_images, len(dataset))
+    results = {}
+    for lo in range(0, n, batch_size):
+        idxs = list(range(lo, min(lo + batch_size, n)))
+        imgs, sfs, names = [], [], []
+        for i in idxs:
+            s = dataset[i]
+            img = s["img"]
+            c = np.zeros(tuple(canvas) + (3,), np.float32)
+            c[: img.shape[0], : img.shape[1]] = img
+            imgs.append(c)
+            sfs.append(float(np.asarray(s.get("scale_factor", 1.0)).reshape(-1)[0]))
+            names.append(osp.splitext(s["img_info"]["file_name"])[0])
+        while len(imgs) < batch_size:
+            imgs.append(np.zeros_like(imgs[0]))
+            sfs.append(1.0)
+            names.append(None)
+        dets, labels, valid = infer(
+            variables, jnp.asarray(np.stack(imgs)),
+            jnp.asarray(np.asarray(sfs, np.float32))[:, None, None],
+        )
+        dets, labels, valid = map(np.asarray, (dets, labels, valid))
+        for bi, name in enumerate(names):
+            if name is None:
+                continue
+            keep = valid[bi]
+            results[name] = rbbox2result(
+                dets[bi][keep][:, -9:], labels[bi][keep], num_fg + 1
+            )
+    return results
+
+
+def evaluate_results(results: dict, dataset, iou_thr: float = 0.5,
+                     use_07_metric: bool = True):
+    """In-memory tile-level oriented mAP against the dataset annotations.
+
+    The EvalHook analogue: no files, exact polygon IoU, VOC AP per class.
+    Returns (mAP, {class: ap}).
+    """
+    num_classes = len(dataset.CLASSES)
+    name_to_idx = {
+        osp.splitext(info["file_name"])[0]: i
+        for i, info in enumerate(dataset.img_infos)
+    }
+    aps = {}
+    for ci, cname in enumerate(dataset.CLASSES):
+        # gather gt
+        gt = {}
+        npos = 0
+        for name, di in name_to_idx.items():
+            ann = dataset.anns[di]
+            mask = ann["labels"] == (ci + 1)
+            boxes = ann["bboxes"][mask]
+            gt[name] = dict(bbox=boxes, det=[False] * len(boxes))
+            npos += len(boxes)
+        # gather dets
+        recs = []
+        for name, per_class in results.items():
+            if name not in name_to_idx:
+                continue
+            for row in np.asarray(per_class[ci]).reshape(-1, 9):
+                recs.append((name, row[8], row[:8]))
+        if not recs or npos == 0:
+            aps[cname] = 0.0 if npos > 0 else float("nan")
+            continue
+        recs.sort(key=lambda r: -r[1])
+        tp = np.zeros(len(recs))
+        fp = np.zeros(len(recs))
+        for d, (name, score, poly) in enumerate(recs):
+            R = gt[name]
+            ovmax, jmax = -np.inf, -1
+            for j, g in enumerate(R["bbox"]):
+                iou = poly_iou(g, poly)
+                if iou > ovmax:
+                    ovmax, jmax = iou, j
+            if ovmax > iou_thr and not R["det"][jmax]:
+                tp[d] = 1
+                R["det"][jmax] = True
+            else:
+                fp[d] = 1
+        fp = np.cumsum(fp)
+        tp = np.cumsum(tp)
+        rec = tp / max(npos, 1)
+        prec = tp / np.maximum(tp + fp, 1e-9)
+        aps[cname] = voc_ap(rec, prec, use_07_metric)
+    valid_aps = [v for v in aps.values() if not np.isnan(v)]
+    return float(np.mean(valid_aps)) if valid_aps else 0.0, aps

@@ -179,6 +179,11 @@ def compute_losses(outs, gt_polys, gt_labels, gt_valid, img_hw, cfg: LossConfig)
         )
     )(proposals, points_valid, gt_polys, gt_valid, gt_labels)
 
+    # Fence off the assigner region: without this barrier the TPU compiler
+    # fuses the refine-assign (Pallas hull IoU + Jarvis scans) with the APAA
+    # geometry below and crashes in fusion_emitter (negative window padding).
+    refine_tg = jax.tree.map(jax.lax.optimization_barrier, refine_tg)
+
     # ---- APAA (no-grad region, head :415) -----------------------------------
     sg = jax.lax.stop_gradient
     cand = jax.vmap(

@@ -350,3 +350,251 @@ class PolyRandomRotate:
             results["gt_bboxes"] = rbox2poly(rboxes).astype(np.float32)
             results["gt_labels"] = labels
         return results
+
+
+@register
+class PolyMosaic:
+    """4-image mosaic with optional random-perspective crop.
+
+    Behavioral re-implementation of Poly_Mosaic_RandomPerspective
+    (poly_transforms.py:548-966): with probability mosaic_ratio, tile 4
+    samples onto a 2s x 2s canvas around a random center, offset their
+    polys, then (ifcrop) apply a random affine (rotate/translate/scale/
+    shear/perspective) cropping back to s x s and filter degenerate boxes
+    (w, h > 5 px, center in bounds).  Input: list of 4 results dicts (see
+    data.loader MultiSampleWrapper); output: one results dict.
+    """
+
+    def __init__(self, degrees=0, translate=0, scale=0, shear=0,
+                 perspective=0.0, ifcrop=True, mosaic_ratio=0.5):
+        self.degrees = degrees
+        self.translate = translate
+        self.scale = scale
+        self.shear = shear
+        self.perspective = perspective
+        self.ifcrop = ifcrop
+        self.mosaic_ratio = mosaic_ratio
+
+    def _mosaic4(self, results_4):
+        s = max(max(r["img"].shape[:2]) for r in results_4)
+        canvas = np.full((2 * s, 2 * s, 3), 114, results_4[0]["img"].dtype)
+        yc = int(np.random.uniform(s * 0.5, s * 1.5))
+        xc = int(np.random.uniform(s * 0.5, s * 1.5))
+        polys_all, labels_all = [], []
+        for i, r in enumerate(results_4):
+            img = r["img"]
+            h, w = img.shape[:2]
+            if i == 0:  # top-left: image bottom-right corner at (xc, yc)
+                x1a, y1a = max(xc - w, 0), max(yc - h, 0)
+                x2a, y2a = xc, yc
+                x1b, y1b = w - (x2a - x1a), h - (y2a - y1a)
+                x2b, y2b = w, h
+            elif i == 1:  # top-right
+                x1a, y1a = xc, max(yc - h, 0)
+                x2a, y2a = min(xc + w, 2 * s), yc
+                x1b, y1b = 0, h - (y2a - y1a)
+                x2b, y2b = x2a - x1a, h
+            elif i == 2:  # bottom-left
+                x1a, y1a = max(xc - w, 0), yc
+                x2a, y2a = xc, min(yc + h, 2 * s)
+                x1b, y1b = w - (x2a - x1a), 0
+                x2b, y2b = w, y2a - y1a
+            else:  # bottom-right
+                x1a, y1a = xc, yc
+                x2a, y2a = min(xc + w, 2 * s), min(yc + h, 2 * s)
+                x1b, y1b = 0, 0
+                x2b, y2b = x2a - x1a, y2a - y1a
+            canvas[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+            dx, dy = x1a - x1b, y1a - y1b
+            polys = r.get("gt_bboxes", np.zeros((0, 8), np.float32)).copy()
+            if len(polys):
+                polys[:, 0::2] += dx
+                polys[:, 1::2] += dy
+                polys_all.append(polys)
+                labels_all.append(r.get("gt_labels", np.zeros(0, np.int64)))
+        polys = (np.concatenate(polys_all) if polys_all
+                 else np.zeros((0, 8), np.float32))
+        labels = (np.concatenate(labels_all) if labels_all
+                  else np.zeros((0,), np.int64))
+        return canvas, polys, labels, s
+
+    def _random_perspective(self, img, polys, labels, out_size):
+        """yolo-style random affine crop back to out_size x out_size."""
+        h, w = img.shape[:2]
+        c = np.eye(3)
+        c[0, 2] = -w / 2
+        c[1, 2] = -h / 2
+        p = np.eye(3)
+        p[2, 0] = np.random.uniform(-self.perspective, self.perspective)
+        p[2, 1] = np.random.uniform(-self.perspective, self.perspective)
+        r = np.eye(3)
+        ang = np.random.uniform(-self.degrees, self.degrees)
+        sc = np.random.uniform(1 - self.scale, 1 + self.scale)
+        r[:2] = cv2.getRotationMatrix2D((0, 0), ang, sc)
+        sh = np.eye(3)
+        sh[0, 1] = np.tan(np.deg2rad(np.random.uniform(-self.shear, self.shear)))
+        sh[1, 0] = np.tan(np.deg2rad(np.random.uniform(-self.shear, self.shear)))
+        t = np.eye(3)
+        t[0, 2] = np.random.uniform(0.5 - self.translate, 0.5 + self.translate) * out_size
+        t[1, 2] = np.random.uniform(0.5 - self.translate, 0.5 + self.translate) * out_size
+        m = t @ sh @ r @ p @ c
+        if self.perspective:
+            img = cv2.warpPerspective(img, m, (out_size, out_size),
+                                      borderValue=(114, 114, 114))
+        else:
+            img = cv2.warpAffine(img, m[:2], (out_size, out_size),
+                                 borderValue=(114, 114, 114))
+        if len(polys):
+            pts = polys.reshape(-1, 2)
+            pts = np.concatenate([pts, np.ones((len(pts), 1))], axis=1) @ m.T
+            if self.perspective:
+                pts = pts[:, :2] / pts[:, 2:3]
+            else:
+                pts = pts[:, :2]
+            polys = pts.reshape(-1, 8).astype(np.float32)
+        return img, polys, labels
+
+    def _filter(self, polys, labels, h, w):
+        if not len(polys):
+            return polys, labels
+        from ..core.rbox import poly2rbox, rbox2poly
+
+        rb = poly2rbox(polys)
+        keep = ((rb[:, 0] > 0) & (rb[:, 0] < w) & (rb[:, 1] > 0)
+                & (rb[:, 1] < h) & (rb[:, 2] > 5) & (rb[:, 3] > 5))
+        rb, labels = rb[keep], labels[keep]
+        return rbox2poly(rb).astype(np.float32) if len(rb) else np.zeros(
+            (0, 8), np.float32), labels
+
+    def __call__(self, results):
+        if not isinstance(results, list):
+            return results
+        if np.random.rand() >= self.mosaic_ratio:
+            return results[0]
+        canvas, polys, labels, s = self._mosaic4(results[:4])
+        if self.ifcrop:
+            canvas, polys, labels = self._random_perspective(
+                canvas, polys, labels, s)
+            h = w = s
+        else:
+            h = w = 2 * s
+        polys, labels = self._filter(polys, labels, h, w)
+        if len(polys) == 0:
+            return None
+        out = dict(results[0])
+        out["img"] = canvas
+        out["img_shape"] = canvas.shape
+        out["gt_bboxes"] = polys
+        out["gt_labels"] = labels
+        return out
+
+
+@register
+class MixUp:
+    """Blend two samples: img = r*img1 + (1-r)*img2, r ~ Beta(8, 8);
+    gts concatenated (poly_transforms.py:969-1023)."""
+
+    def __init__(self, mixup_ratio=0.5):
+        self.mixup_ratio = mixup_ratio
+
+    def __call__(self, results):
+        if not isinstance(results, list):
+            return results
+        if np.random.rand() >= self.mixup_ratio:
+            return results[0]
+        r1, r2 = results[0], results[1]
+        h = max(r1["img"].shape[0], r2["img"].shape[0])
+        w = max(r1["img"].shape[1], r2["img"].shape[1])
+
+        def pad(img):
+            out = np.zeros((h, w) + img.shape[2:], img.dtype)
+            out[: img.shape[0], : img.shape[1]] = img
+            return out
+
+        r = np.random.beta(8.0, 8.0)
+        img = pad(r1["img"]).astype(np.float32) * r + pad(
+            r2["img"]).astype(np.float32) * (1 - r)
+        out = dict(r1)
+        out["img"] = img.astype(r1["img"].dtype)
+        out["img_shape"] = img.shape
+        out["gt_bboxes"] = np.concatenate(
+            [r1["gt_bboxes"], r2["gt_bboxes"]], 0)
+        out["gt_labels"] = np.concatenate(
+            [r1["gt_labels"], r2["gt_labels"]], 0)
+        return out
+
+
+class MultiSamplePipeline:
+    """Run per-sample stages on N random samples, then multi-sample stages.
+
+    The reference feeds lists of results through its pipeline when mosaic/
+    mixup are enabled (poly_transforms multi_img_call paths); here the
+    split is explicit: `per_sample` stages run on each of `num_samples`
+    dataset items, `fusion` stages (PolyMosaic / MixUp) see the list.
+    """
+
+    def __init__(self, dataset_getter, per_sample, fusion, num_samples=4):
+        self.getter = dataset_getter
+        self.per_sample = per_sample
+        self.fusion = fusion
+        self.num_samples = num_samples
+
+    def __call__(self, results):
+        samples = [self.per_sample(results)]
+        for _ in range(self.num_samples - 1):
+            extra = self.getter()
+            extra = self.per_sample(extra)
+            if extra is not None:
+                samples.append(extra)
+        out = [s for s in samples if s is not None]
+        if not out:
+            return None
+        return self.fusion(out)
+
+
+@register
+class RandomRotate:
+    """Discrete-angle rotation variant (random_rotate.py:9-112): with
+    probability `rate`, rotate by an angle sampled from `angles`; polys are
+    transformed and filtered by center-in-bounds only (no size filter)."""
+
+    def __init__(self, rate=0.5, angles=(30, 60, 90, 120, 150),
+                 auto_bound=False):
+        self.rate = rate
+        self.angles = list(angles)
+        self.auto_bound = auto_bound
+
+    def __call__(self, results):
+        if np.random.rand() >= self.rate:
+            results["rotate"] = False
+            return results
+        angle = float(np.random.choice(self.angles))
+        results["rotate"] = True
+        results["rotate_angle"] = angle
+        h, w = results["img_shape"][:2]
+        center = (w / 2.0, h / 2.0)
+        if self.auto_bound:
+            rad = np.deg2rad(angle)
+            bound_w = int(np.rint(h * abs(np.sin(rad)) + w * abs(np.cos(rad))))
+            bound_h = int(np.rint(h * abs(np.cos(rad)) + w * abs(np.sin(rad))))
+        else:
+            bound_w, bound_h = w, h
+        rm = cv2.getRotationMatrix2D(center, angle, 1.0)
+        if self.auto_bound:
+            rm[0, 2] += bound_w / 2.0 - center[0]
+            rm[1, 2] += bound_h / 2.0 - center[1]
+        results["img"] = cv2.warpAffine(results["img"], rm, (bound_w, bound_h))
+        results["img_shape"] = (bound_h, bound_w) + results["img"].shape[2:]
+        polys = results.get("gt_bboxes", np.zeros((0, 8), np.float32))
+        labels = results.get("gt_labels", np.zeros((0,), np.int64))
+        if len(polys):
+            pts = polys.reshape(-1, 2) @ rm[:, :2].T + rm[:, 2]
+            polys = pts.reshape(-1, 8).astype(np.float32)
+            cx = polys[:, 0::2].mean(1)
+            cy = polys[:, 1::2].mean(1)
+            keep = (cx > 0) & (cx < bound_w) & (cy > 0) & (cy < bound_h)
+            results["gt_bboxes"] = polys[keep]
+            results["gt_labels"] = labels[keep]
+            if keep.sum() == 0:
+                return None
+        return results

@@ -251,3 +251,26 @@ def _imagenames(src):
         return list(src)
     with open(src) as f:
         return [line.strip() for line in f if line.strip()]
+
+
+UCAS_AOD_CLASSES = ("car", "airplane")
+
+
+def eval_ucasaod(detpath, annopath, imagesetfile_or_names,
+                 ovthresh: float = 0.5, use_07_metric: bool = True):
+    """UCAS-AOD oriented mAP (DOTA_devkit/ucasaod_evaluation.py pattern)."""
+    return eval_dota_task1(
+        detpath, annopath, imagesetfile_or_names,
+        classnames=UCAS_AOD_CLASSES, ovthresh=ovthresh,
+        use_07_metric=use_07_metric,
+    )
+
+
+def eval_hrsc2016_map(detpath, annopath, imagesetfile_or_names,
+                      ovthresh: float = 0.5, use_07_metric: bool = True):
+    """HRSC2016 ship AP (hrsc2016_evaluation.py:87-269)."""
+    names = _imagenames(imagesetfile_or_names)
+    _, _, ap = voc_eval_poly(
+        detpath, annopath, names, "ship", ovthresh, use_07_metric
+    )
+    return ap

@@ -210,3 +210,48 @@ def poly_nms(dets: np.ndarray, thresh: float) -> list[int]:
             hbb_ovr[j] = poly_iou(obbs[i], obbs[rest[j]])
         order = rest[np.where(hbb_ovr <= thresh)[0]]
     return keep
+
+
+def soft_poly_nms(
+    dets: np.ndarray,
+    iou_thr: float,
+    method: str = "linear",
+    sigma: float = 0.5,
+    min_score: float = 1e-3,
+):
+    """Soft rotated NMS (host), matching the reference CPU soft_rnms
+    (mmdet/ops/nms/nms_wrapper.py:120-175, rnms_cpu):
+
+    iteratively pick the max-score box, decay the scores of overlapping
+    boxes — linear: s *= 1 - iou (when iou > thr); gaussian:
+    s *= exp(-iou^2 / sigma) — and drop boxes whose score falls below
+    min_score.
+
+    dets: (n, 9) [poly(8), score].  Returns (new_dets (k, 9), keep_inds).
+    """
+    dets = np.asarray(dets, np.float64).copy()
+    n = len(dets)
+    inds = np.arange(n)
+    keep_dets, keep_inds = [], []
+    scores = dets[:, 8].copy()
+    alive = np.ones(n, bool)
+    while alive.any():
+        live = np.where(alive)[0]
+        i = live[np.argmax(scores[live])]
+        keep_dets.append(np.concatenate([dets[i, :8], [scores[i]]]))
+        keep_inds.append(int(inds[i]))
+        alive[i] = False
+        rest = np.where(alive)[0]
+        for j in rest:
+            iou = poly_iou(dets[i, :8], dets[j, :8])
+            if method == "linear":
+                if iou > iou_thr:
+                    scores[j] *= 1.0 - iou
+            elif method == "gaussian":
+                scores[j] *= np.exp(-(iou * iou) / sigma)
+            else:  # 'original' hard suppression
+                if iou > iou_thr:
+                    scores[j] = 0.0
+            if scores[j] < min_score:
+                alive[j] = False
+    return np.asarray(keep_dets).reshape(-1, 9), np.asarray(keep_inds)

@@ -37,6 +37,7 @@ class _ConvBN(nn.Module):
     kernel: int
     strides: int = 1
     act: bool = True
+    groups: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -47,6 +48,7 @@ class _ConvBN(nn.Module):
             strides=(self.strides, self.strides),
             padding=[(self.kernel // 2,) * 2] * 2,
             use_bias=False,
+            feature_group_count=self.groups,
             dtype=self.dtype,
             kernel_init=_he_init,
             name="conv",
@@ -77,17 +79,21 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    features: int  # bottleneck width; output = 4 * features
+    features: int  # bottleneck base width; output = 4 * features
     strides: int = 1
     downsample: bool = False
+    groups: int = 1  # ResNeXt cardinality (resnet.py `groups`)
+    base_width: int = 64
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = _ConvBN(self.features, 1, 1, dtype=self.dtype, name="conv1")(x)
-        # pytorch style: stride on the 3x3
-        out = _ConvBN(self.features, 3, self.strides, dtype=self.dtype, name="conv2")(out)
+        width = int(self.features * (self.base_width / 64.0)) * self.groups
+        out = _ConvBN(width, 1, 1, dtype=self.dtype, name="conv1")(x)
+        # pytorch style: stride on the 3x3 (grouped for ResNeXt)
+        out = _ConvBN(width, 3, self.strides, groups=self.groups,
+                      dtype=self.dtype, name="conv2")(out)
         out = _ConvBN(self.features * 4, 1, 1, act=False, dtype=self.dtype, name="conv3")(out)
         if self.downsample:
             identity = _ConvBN(
@@ -102,6 +108,8 @@ class ResNet(nn.Module):
 
     depth: int = 50
     out_indices: Sequence[int] = (0, 1, 2, 3)
+    groups: int = 1  # >1 => ResNeXt (e.g. groups=32, base_width=4)
+    base_width: int = 64
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -123,12 +131,18 @@ class ResNet(nn.Module):
                 needs_ds = blk == 0 and (
                     blk_stride != 1 or x.shape[-1] != width * expansion
                 )
+                kw = (
+                    dict(groups=self.groups, base_width=self.base_width)
+                    if block_type == "bottleneck"
+                    else {}
+                )
                 x = block_cls(
                     width,
                     strides=blk_stride,
                     downsample=needs_ds,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{blk}",
+                    **kw,
                 )(x)
             if stage in self.out_indices:
                 outs.append(x)

@@ -277,7 +277,17 @@ def _clip_half_plane(verts, count, a, b, out_cap: int):
     cand = jnp.stack([inter, nxtv], axis=1).reshape(2 * v, 2)
     emit = jnp.stack([emit0, emit1], axis=1).reshape(2 * v)
 
-    pos = jnp.cumsum(emit.astype(jnp.int32)) - 1  # target slot per candidate
+    # inclusive prefix sum by log-doubling shifts (jnp.cumsum lowers to a
+    # reduce-window that triggers TPU fusion-emitter bugs when combined
+    # with the surrounding geometry graphs)
+    x = emit.astype(jnp.int32)
+    shift = 1
+    while shift < x.shape[0]:
+        x = x + jnp.concatenate(
+            [jnp.zeros((shift,), jnp.int32), x[:-shift]]
+        )
+        shift *= 2
+    pos = x - 1  # target slot per candidate
     out_count = jnp.sum(emit.astype(jnp.int32))
     # one-hot scatter: out[j] = sum_i cand[i] * (emit_i & pos_i == j).
     # Written as broadcast-multiply-reduce (VPU), NOT einsum/dot — a tiny
@@ -369,9 +379,10 @@ def convex_intersection_area(
     if count_q is None:
         count_q = poly_q.shape[0]
     if poly_q.shape[0] == 4:
-        # fast sort-free path: S-H clip of the CCW subject by the quad
-        subj = _ccw_masked(poly_p, count_p)
-        clipped, ccount = clip_convex_by_quad(subj, count_p, poly_q)
+        # fast sort-free path: S-H clip by the quad.  The SUBJECT's winding
+        # is irrelevant to S-H (only the clip quad's half-planes matter),
+        # so no orientation normalization is needed.
+        clipped, ccount = clip_convex_by_quad(poly_p, count_p, poly_q)
         return polygon_area(clipped, ccount)
 
     # general fallback: vertex collection + angular sort
@@ -438,7 +449,12 @@ def convex_giou_single(points: jnp.ndarray, gt_quad: jnp.ndarray) -> jnp.ndarray
     area_q = polygon_area(quad)
     inter = convex_intersection_area(hull, hcount, quad)
     union = area_p + area_q - inter
-    allpts = jnp.concatenate([pts, quad], axis=0)
+    # barrier: keep the enclosing-hull scan out of the same fusion as the
+    # point-hull + clip above (TPU fusion_emitter crashes otherwise when
+    # this graph is compiled next to the assigner's geometry)
+    allpts = jax.lax.optimization_barrier(
+        jnp.concatenate([pts, quad], axis=0)
+    )
     ehull, _, ecount = convex_hull(allpts)
     c_area = polygon_area(ehull, ecount)
     iou = inter / jnp.maximum(union, _EPS)

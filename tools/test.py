@@ -37,6 +37,8 @@ def parse_args():
     p.add_argument("--merge_dir", help="dir for cross-tile merged txts")
     p.add_argument("--max_images", type=int)
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--eval", action="store_true",
+                   help="tile-level oriented mAP vs dataset annotations")
     return p.parse_args()
 
 
@@ -135,6 +137,15 @@ def main():
                for ci, arr in enumerate(per)},
         )
         log.info("wrote %s", args.out)
+
+    if args.eval:
+        from orientedreppoints_tpu.apis import evaluate_results
+
+        mAP, aps = evaluate_results(results, dataset)
+        log.info("tile-level mAP %.4f", mAP)
+        for k, v in aps.items():
+            if not np.isnan(v):
+                log.info("  %s: %.4f", k, v)
 
     if args.format_task1:
         from orientedreppoints_tpu.devkit.result_merge import (

@@ -41,6 +41,9 @@ def parse_args():
     p.add_argument("--total_epochs", type=int)
     p.add_argument("--max_iters", type=int, help="debug: stop early")
     p.add_argument("--log_interval", type=int, default=50)
+    p.add_argument("--validate", action="store_true",
+                   help="run the EvalHook-equivalent per-epoch val mAP")
+    p.add_argument("--val_max_images", type=int, default=500)
     return p.parse_args()
 
 
@@ -135,6 +138,25 @@ def main():
             ckpt_dir, epoch + 1, state,
             meta=dict(config=cfg.text, classes=dataset.CLASSES),
         )
+        if args.validate:  # EvalHook equivalent (eval_hooks.py:7-39)
+            from orientedreppoints_tpu.apis import (
+                evaluate_results, run_inference,
+            )
+
+            val_ds = builder.build_dataset(
+                {**cfg.data["val"], "test_mode": True}
+            )
+            variables_now = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+            results = run_inference(
+                model, variables_now, val_ds, cfg.test_cfg,
+                canvas=canvas, max_images=args.val_max_images,
+                num_fg=len(val_ds.CLASSES),
+            )
+            mAP, aps = evaluate_results(results, val_ds)
+            log.info("epoch %d val mAP %.4f %s", epoch, mAP,
+                     json.dumps({k: round(v, 3) for k, v in aps.items()
+                                 if not np.isnan(v)}))
         if args.max_iters and it >= args.max_iters:
             break
     log.info("training finished at iter %d", it)
