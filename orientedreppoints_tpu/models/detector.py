@@ -131,17 +131,15 @@ def decode_detections(
         [jnp.zeros_like(all_scores[..., :1]), all_scores], axis=-1
     )
 
-    def per_image(args):
-        boxes, scores, pts = args
-        return multiclass_rnms(
-            boxes, scores, score_thr, iou_thr, max_per_img,
-            reppoints=pts if with_reppoints else None,
-        )
+    from ..ops.nms import multiclass_rnms_batch
 
-    # lax.map (not vmap): the NMS pairwise-IoU temporaries are large, and
-    # batching them across images multiplies peak HBM by B; images run
-    # sequentially through one compiled NMS instance instead.
-    return jax.lax.map(per_image, (all_boxes, padded, all_pts))
+    # batched NMS: one Pallas IoU launch + one suppression scan for the
+    # whole image batch (the per-pair temporaries live in kernel VMEM, so
+    # batching does not blow up HBM like the vmapped-XLA formulation did)
+    return multiclass_rnms_batch(
+        all_boxes, padded, score_thr, iou_thr, max_per_img,
+        reppoints=all_pts if with_reppoints else None,
+    )
 
 
 def decode_no_nms(

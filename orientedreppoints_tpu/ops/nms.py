@@ -142,3 +142,86 @@ def multiclass_rnms(
         out_labels = jnp.pad(out_labels, (0, pad))
         det_valid = jnp.pad(det_valid, (0, pad))
     return dets, out_labels, det_valid
+
+
+def multiclass_rnms_batch(
+    bboxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    score_thr: float,
+    iou_thr: float,
+    max_per_img: int,
+    reppoints: jnp.ndarray | None = None,
+    pre_nms_cap: int = 4096,
+):
+    """Batched multiclass rotated NMS: one kernel launch + one suppression
+    scan for the whole image batch (vs lax.map serialization).
+
+    bboxes (B, N, 8), scores (B, N, C+1), reppoints (B, N, 18) optional.
+    Returns dets (B, max_per_img, 9|27), labels (B, max_per_img),
+    valid (B, max_per_img).
+    """
+    from .pallas_quad_iou import quad_iou_matrix_batch_pallas
+
+    b, n, _ = bboxes.shape
+    num_classes = scores.shape[2] - 1
+    cls_scores = scores[:, :, 1:]
+
+    flat_scores = cls_scores.reshape(b, -1)  # (B, N*C)
+    flat_labels = jnp.tile(jnp.arange(num_classes, dtype=jnp.int32), (n,))
+    flat_box_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), num_classes)
+    cand_ok = flat_scores > score_thr
+
+    cap = min(pre_nms_cap, n * num_classes)
+    top_scores, top_idx = jax.lax.top_k(
+        jnp.where(cand_ok, flat_scores, _NEG), cap
+    )  # (B, cap)
+    top_valid = top_scores > score_thr
+    top_labels = flat_labels[top_idx]  # (B, cap)
+    gather = lambda arr, idx: jnp.take_along_axis(arr, idx[..., None], axis=1)
+    top_boxes = gather(bboxes, flat_box_idx[top_idx].reshape(b, cap))
+
+    max_coord = jnp.max(
+        jnp.where(top_valid[..., None], top_boxes, 0.0), axis=(1, 2),
+        keepdims=True,
+    )
+    offsets = top_labels.astype(top_boxes.dtype)[..., None] * (max_coord + 1.0)
+    boxes_for_nms = top_boxes + offsets
+
+    # rows already score-sorted by top_k; batched pairwise IoU
+    iou = quad_iou_matrix_batch_pallas(boxes_for_nms, boxes_for_nms)
+    over = iou > iou_thr  # (B, cap, cap)
+
+    def body(i, suppressed):
+        keep_i = top_valid[:, i] & ~suppressed[:, i]  # (B,)
+        row = over[:, i, :] & (jnp.arange(cap) > i)[None, :]
+        return suppressed | (keep_i[:, None] & row)
+
+    suppressed = jax.lax.fori_loop(
+        0, cap, body, jnp.zeros((b, cap), dtype=bool)
+    )
+    keep = top_valid & ~suppressed
+
+    k_out = min(max_per_img, cap)
+    out_scores, out_rank = jax.lax.top_k(
+        jnp.where(keep, top_scores, _NEG), k_out
+    )
+    det_valid = out_scores > score_thr
+    out_boxes = gather(top_boxes, out_rank)
+    out_labels = jnp.where(
+        det_valid, jnp.take_along_axis(top_labels, out_rank, axis=1), 0
+    )
+    if reppoints is not None:
+        top_pts = gather(reppoints, flat_box_idx[top_idx].reshape(b, cap))
+        out_pts = gather(top_pts, out_rank)
+        dets = jnp.concatenate(
+            [out_pts, out_boxes, out_scores[..., None]], axis=2
+        )
+    else:
+        dets = jnp.concatenate([out_boxes, out_scores[..., None]], axis=2)
+    dets = jnp.where(det_valid[..., None], dets, 0.0)
+    if max_per_img > cap:
+        pad = max_per_img - cap
+        dets = jnp.pad(dets, ((0, 0), (0, pad), (0, 0)))
+        out_labels = jnp.pad(out_labels, ((0, 0), (0, pad)))
+        det_valid = jnp.pad(det_valid, ((0, 0), (0, pad)))
+    return dets, out_labels, det_valid

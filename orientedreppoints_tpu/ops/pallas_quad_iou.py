@@ -132,23 +132,27 @@ def _iou_from_subject(sub_x, sub_y, sub_cnt, sub_area2, b_ref):
     return inter / union
 
 
-def _quad_kernel(a_ref, b_ref, out_ref):
-    """a_ref: (TM, 8) subject quads; b_ref: (8, TN) clip quads (transposed);
-    out_ref: (TM, TN) IoU."""
+def _quad_tile(a, bt):
+    """a: (TM, 8) subject quads; bt: (8, TN) clip quads (transposed).
+    Returns the (TM, TN) IoU tile."""
     # recenter every pair at the clip quad's first vertex for f32 safety
     # (class-offset NMS coordinates reach ~3e4)
-    ox = b_ref[0:1, :]
-    oy = b_ref[1:2, :]
-    ax = [a_ref[:, 2 * k : 2 * k + 1] - ox for k in range(4)]
-    ay = [a_ref[:, 2 * k + 1 : 2 * k + 2] - oy for k in range(4)]
+    ox = bt[0:1, :]
+    oy = bt[1:2, :]
+    ax = [a[:, 2 * k : 2 * k + 1] - ox for k in range(4)]
+    ay = [a[:, 2 * k + 1 : 2 * k + 2] - oy for k in range(4)]
     area2_a = _shoelace_quad(ax, ay)
-    b_cent = b_ref[:, :] - jnp.tile(
-        jnp.concatenate([ox, oy], axis=0), (4, 1)
-    )
+    b_cent = bt - jnp.tile(jnp.concatenate([ox, oy], axis=0), (4, 1))
     cnt = jnp.full(ax[0].shape, 4, jnp.int32) + jnp.zeros(
-        (1, b_ref.shape[1]), jnp.int32
+        (1, bt.shape[1]), jnp.int32
     )
-    out_ref[:, :] = _iou_from_subject(ax, ay, cnt, area2_a, b_cent)
+    return _iou_from_subject(ax, ay, cnt, area2_a, b_cent)
+
+
+def _quad_kernel(a_ref, b_ref, out_ref):
+    out_ref[:, :] = _quad_tile(a_ref[:, :], b_ref[:, :])
+
+
 
 
 def _hull_kernel(h_ref, c_ref, b_ref, out_ref):
@@ -202,6 +206,44 @@ def quad_iou_matrix_pallas(quads_a: jnp.ndarray, quads_b: jnp.ndarray):
         interpret=_interpret(),
     )(a, bt)
     return out[:n, :m]
+
+
+def quad_iou_matrix_batch_pallas(quads_a: jnp.ndarray, quads_b: jnp.ndarray):
+    """Batched pairwise IoU: (B, N, 8) x (B, M, 8) -> (B, N, M).
+
+    One kernel launch for the whole batch (used by the batched rotated NMS
+    so per-image matrices don't serialize).
+    """
+    b, n, _ = quads_a.shape
+    m = quads_b.shape[1]
+    a = _pad_to(quads_a.astype(jnp.float32), TM, 1).reshape(-1, 8)  # (B*Np, 8)
+    bb = _pad_to(quads_b.astype(jnp.float32), TN, 1)
+    bt = bb.transpose(0, 2, 1).reshape(-1, bb.shape[1])  # (B*8, Mp)
+    np_ = a.shape[0] // b
+    mp = bt.shape[1]
+    # fold the batch into the row dimension so every block stays 2D and
+    # lane-aligned (a leading singleton block dim defeats (8,128) tiling)
+    out = pl.pallas_call(
+        _quad_kernel,
+        out_shape=jax.ShapeDtypeStruct((b * np_, mp), jnp.float32),
+        grid=(b, np_ // TM, mp // TN),
+        in_specs=[
+            pl.BlockSpec(
+                (TM, 8),
+                lambda bi, i, j, _n=np_ // TM: (bi * _n + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((8, TN), lambda bi, i, j: (bi, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TM, TN),
+            lambda bi, i, j, _n=np_ // TM: (bi * _n + i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=_interpret(),
+    )(a, bt)
+    return out.reshape(b, np_, mp)[:, :n, :m]
 
 
 def hull_quad_iou_matrix_pallas(
