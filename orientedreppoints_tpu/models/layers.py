@@ -43,10 +43,14 @@ class FrozenBatchNorm(nn.Module):
         var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((self.features,))
         ).value
-        # fold into a single multiply-add (XLA fuses this into the conv)
-        inv = scale / jnp.sqrt(var + self.eps)
-        out = x.astype(jnp.float32) * inv + (bias - mean * inv)
-        return out.astype(self.dtype)
+        # fold into a single multiply-add in the compute dtype (coefficients
+        # derived in f32): avoids a bf16->f32->bf16 round trip per layer,
+        # which doubles HBM traffic on the big early-stage maps
+        inv = (scale / jnp.sqrt(var + self.eps)).astype(self.dtype)
+        shift = (bias - mean * scale / jnp.sqrt(var + self.eps)).astype(
+            self.dtype
+        )
+        return x.astype(self.dtype) * inv + shift
 
 
 class ConvModule(nn.Module):
@@ -74,9 +78,11 @@ class ConvModule(nn.Module):
             name="conv",
         )(x)
         if self.norm == "gn":
+            # flax GroupNorm reduces in f32 internally; emitting in the
+            # compute dtype avoids an extra cast pass over the map
             x = nn.GroupNorm(
-                num_groups=self.gn_groups, dtype=jnp.float32, name="gn"
-            )(x).astype(self.dtype)
+                num_groups=self.gn_groups, dtype=self.dtype, name="gn"
+            )(x)
         elif self.norm == "bn_frozen":
             x = FrozenBatchNorm(self.features, dtype=self.dtype, name="bn")(x)
         if self.act:

