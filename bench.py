@@ -39,26 +39,27 @@ def main():
     init_imgs = jnp.zeros((BATCH, 1024, 1024, 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), init_imgs)
 
-    @jax.jit
-    def infer(v, x):
+    def infer_one(v, x):
         outs = model.apply(v, x)
         dets, labels, valid = decode_detections(
             outs, nms_pre=2000, score_thr=0.05, iou_thr=0.4, max_per_img=2000
         )
-        # scalar checksum: forces full materialization when fetched so the
-        # timing cannot be fooled by async dispatch
         return jnp.sum(dets) + jnp.sum(labels) + jnp.sum(valid)
 
-    batches = [
-        jnp.asarray(rng.rand(BATCH, 1024, 1024, 3).astype(np.float32))
-        for _ in range(ITERS)
-    ]
-    for i in range(WARMUP):
-        float(infer(variables, batches[i]))
+    @jax.jit
+    def infer_many(v, xs):
+        # chain all iterations on device; ONE scalar fetch at the end forces
+        # completion, so neither async dispatch nor per-call host round-trips
+        # pollute the timing
+        return jnp.sum(jax.lax.map(lambda x: infer_one(v, x), xs))
+
+    batches = jnp.asarray(
+        rng.rand(ITERS, BATCH, 1024, 1024, 3).astype(np.float32)
+    )
+    float(infer_many(variables, batches))  # compile + warm (same shape)
 
     t0 = time.time()
-    for i in range(ITERS):
-        float(infer(variables, batches[i]))
+    float(infer_many(variables, batches))
     dt = time.time() - t0
     patches_per_s = BATCH * ITERS / dt
 
