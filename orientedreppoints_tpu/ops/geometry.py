@@ -473,6 +473,7 @@ def convex_iou(gt_quads: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     (k, n) product — unlike the reference kernel, which re-runs Jarvis per
     pair (convex_iou_kernel.cu:298-312).
     """
+    from .pallas_minarearect import convex_hull_pallas
     from .pallas_quad_iou import hull_quad_iou_matrix_pallas
 
     pts = points.reshape(points.shape[0], -1, 2).astype(jnp.float32)
@@ -482,7 +483,7 @@ def convex_iou(gt_quads: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     pts = pts - shift
     quads = quads - shift
 
-    hulls, _, counts = jax.vmap(convex_hull)(pts)
+    hulls, counts = convex_hull_pallas(pts.reshape(pts.shape[0], -1))
     iou = hull_quad_iou_matrix_pallas(
         hulls, counts, quads.reshape(-1, 8)
     )  # (n_pointsets, n_gt)
@@ -560,8 +561,15 @@ def min_area_rect_single(points: jnp.ndarray) -> jnp.ndarray:
 
 
 def min_area_rect(points: jnp.ndarray) -> jnp.ndarray:
-    """Batched min-area rect: (n, 18) -> (n, 8)."""
-    return jax.vmap(min_area_rect_single)(points)
+    """Batched min-area rect: (n, 18) -> (n, 8).
+
+    Routed to the fused Pallas kernel (hull + calipers per lane); use
+    min_area_rect_single / vmap for a differentiable XLA variant (all
+    framework call sites are no-grad: inference decode and APAA).
+    """
+    from .pallas_minarearect import min_area_rect_pallas
+
+    return min_area_rect_pallas(points.reshape(points.shape[0], -1))
 
 
 # ---------------------------------------------------------------------------
