@@ -164,3 +164,28 @@ def spatial_border_loss(
     out_term = jnp.sum(jnp.where(outside, 0.2 * d, 0.0)) / jnp.maximum(n_out, 1)
     n_pos = jnp.sum(pos)
     return loss_weight * out_term / (n_pos.astype(pts.dtype) + 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Plain IoU loss (reference IoULoss, iou_loss.py:14-62): -log(IoU)
+# ---------------------------------------------------------------------------
+
+
+def iou_loss(
+    pred_pts: jnp.ndarray,
+    target_quads: jnp.ndarray,
+    weight: jnp.ndarray,
+    divisor,
+    loss_weight: float = 1.0,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """-log(convex IoU) over point sets vs gt quads (masked mean).
+
+    The reference's original RepPoints recipe (head defaults, before the
+    configs switched to GIoULoss); provided for config parity.
+    """
+    from ..ops.geometry import convex_iou_single
+
+    ious = jax.vmap(convex_iou_single)(pred_pts, target_quads)
+    loss = -jnp.log(jnp.clip(ious, min=eps))
+    return loss_weight * jnp.sum(loss * weight) / jnp.maximum(divisor, 1e-6)

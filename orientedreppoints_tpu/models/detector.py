@@ -41,6 +41,7 @@ class OrientedRepPointsDetector(nn.Module):
     fpn_add_extra_convs: bool | None = None  # default: True resnet, False swin
     dtype: Any = jnp.float32
     backbone_kwargs: dict = None
+    head_kwargs: dict = None  # OrientedRepPointsHead overrides from config
 
     @nn.compact
     def __call__(self, images, deterministic: bool = True):
@@ -69,6 +70,7 @@ class OrientedRepPointsDetector(nn.Module):
         )(feats)
         return OrientedRepPointsHead(
             num_classes=self.num_classes, dtype=self.dtype, name="bbox_head",
+            **(self.head_kwargs or {}),
         )(feats)
 
 

@@ -14,6 +14,7 @@ is unrolled elementwise VPU code (no scan, no gather, no sort).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -157,6 +158,12 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _use_xla_fallback() -> bool:
+    if os.environ.get("ORP_FORCE_PALLAS_INTERPRET"):
+        return False
+    return jax.default_backend() != "tpu"
+
+
 def _run(points: jnp.ndarray):
     n = points.shape[0]
     pad = (-n) % TN
@@ -188,10 +195,21 @@ def _run(points: jnp.ndarray):
 
 def min_area_rect_pallas(points: jnp.ndarray) -> jnp.ndarray:
     """(n, 18) point sets -> (n, 8) min-area-rect corners."""
+    if _use_xla_fallback():
+        from .geometry import min_area_rect_single
+
+        return jax.vmap(min_area_rect_single)(points)
     return _run(points)[0]
 
 
 def convex_hull_pallas(points: jnp.ndarray):
     """(n, 18) -> (hulls (n, 9, 2), counts (n,)). Padding repeats vertex 0."""
+    if _use_xla_fallback():
+        from .geometry import convex_hull
+
+        hulls, _, counts = jax.vmap(
+            lambda p: convex_hull(p.reshape(-1, 2))
+        )(points)
+        return hulls, counts
     _, hull, cnt = _run(points)
     return hull, cnt

@@ -20,6 +20,7 @@ Subject variants:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -183,9 +184,24 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _use_xla_fallback() -> bool:
+    """On non-TPU backends, prefer the parity-tested vmapped-XLA paths:
+    Pallas interpret mode re-executes the unrolled kernel body per grid
+    step in Python, which is prohibitively slow at real sizes.  Set
+    ORP_FORCE_PALLAS_INTERPRET=1 to exercise the kernels anyway (used by
+    the dedicated kernel-parity tests on tiny shapes)."""
+    if os.environ.get("ORP_FORCE_PALLAS_INTERPRET"):
+        return False
+    return jax.default_backend() != "tpu"
+
+
 @functools.partial(jax.jit, static_argnames=())
 def quad_iou_matrix_pallas(quads_a: jnp.ndarray, quads_b: jnp.ndarray):
     """(N, 8) x (M, 8) -> (N, M) exact convex-quad IoU (f32)."""
+    if _use_xla_fallback():
+        from .geometry import quad_iou_matrix
+
+        return quad_iou_matrix(quads_a, quads_b)
     n, m = quads_a.shape[0], quads_b.shape[0]
     a = _pad_to(quads_a.astype(jnp.float32), TM, 0)
     b = _pad_to(quads_b.astype(jnp.float32), TN, 0)
@@ -214,6 +230,10 @@ def quad_iou_matrix_batch_pallas(quads_a: jnp.ndarray, quads_b: jnp.ndarray):
     One kernel launch for the whole batch (used by the batched rotated NMS
     so per-image matrices don't serialize).
     """
+    if _use_xla_fallback():
+        from .geometry import quad_iou_matrix
+
+        return jax.vmap(quad_iou_matrix)(quads_a, quads_b)
     b, n, _ = quads_a.shape
     m = quads_b.shape[1]
     a = _pad_to(quads_a.astype(jnp.float32), TM, 1).reshape(-1, 8)  # (B*Np, 8)
@@ -250,6 +270,20 @@ def hull_quad_iou_matrix_pallas(
     hulls: jnp.ndarray, counts: jnp.ndarray, quads: jnp.ndarray
 ):
     """(N, 9, 2) hulls (+ (N,) counts) x (M, 8) quads -> (N, M) IoU."""
+    if _use_xla_fallback():
+        from .geometry import (
+            _EPS, convex_intersection_area, polygon_area,
+        )
+
+        def pair(hull, cnt, quad):
+            inter = convex_intersection_area(hull, cnt, quad.reshape(4, 2))
+            ap = polygon_area(hull, cnt)
+            aq = polygon_area(quad.reshape(4, 2))
+            return inter / jnp.maximum(ap + aq - inter, _EPS)
+
+        return jax.vmap(
+            jax.vmap(pair, in_axes=(None, None, 0)), in_axes=(0, 0, None)
+        )(hulls, counts, quads)
     n, m = hulls.shape[0], quads.shape[0]
     h = _pad_to(hulls.reshape(n, 18).astype(jnp.float32), TM, 0)
     c = _pad_to(counts.reshape(n, 1).astype(jnp.int32), TM, 0)

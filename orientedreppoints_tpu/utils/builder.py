@@ -31,14 +31,29 @@ def build_detector(cfg, compute_dtype: str = "bfloat16"):
             if k in ("embed_dim", "depths", "num_heads", "window_size",
                      "out_indices", "drop_path_rate")
         }
+    if bb_type == "resnet":
+        kwargs = {
+            k: v for k, v in bb.items()
+            if k in ("groups", "base_width", "out_indices")
+        }
+    head = m["bbox_head"]
+    head_kwargs = {
+        k: head[k]
+        for k in ("feat_channels", "point_feat_channels", "stacked_convs",
+                  "num_points", "gradient_mul")
+        if k in head
+    }
     return OrientedRepPointsDetector(
         backbone_type=bb_type,
         depth=bb.get("depth", 50),
-        num_classes=m["bbox_head"]["num_classes"],
+        num_classes=head["num_classes"],
         fpn_out_channels=m["neck"]["out_channels"],
         num_levels=m["neck"]["num_outs"],
+        fpn_start_level=m["neck"].get("start_level"),
+        fpn_add_extra_convs=m["neck"].get("add_extra_convs"),
         dtype=_DTYPES[compute_dtype],
         backbone_kwargs=kwargs or None,
+        head_kwargs=head_kwargs or None,
     )
 
 

@@ -1,0 +1,110 @@
+"""APAA parity tests: sample selection vs a sequential numpy re-derivation
+of the reference loops (orientedreppoints_head.py:602-671), and quality
+term structure."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from orientedreppoints_tpu.core.apaa import (
+    PosCandidates,
+    compact_positives,
+    sample_edge_points,
+    sample_selection,
+)
+
+
+def ref_selection(quality, gt_idx, level, mask, num_gt, num_level,
+                  topk=6, top_ratio=0.4):
+    """Sequential reference point_samples_selection re-derivation.
+
+    quality: (P,); gt_idx: (P,) 0-based; level: (P,); mask: (P,) valid.
+    Returns keep mask (P,).
+    """
+    keep = np.zeros(len(quality), bool)
+    for g in range(num_gt):
+        sel_idx, sel_q = [], []
+        for l in range(num_level):
+            m = mask & (gt_idx == g) & (level == l)
+            idxs = np.where(m)[0]
+            if len(idxs) == 0:
+                continue
+            order = idxs[np.argsort(quality[idxs], kind="stable")][:topk]
+            sel_idx.extend(order.tolist())
+            sel_q.extend(quality[order].tolist())
+        if len(sel_idx) == 0:
+            continue
+        if len(sel_idx) < 2:
+            keep[sel_idx] = True
+            continue
+        order = np.argsort(np.asarray(sel_q), kind="stable")
+        k = math.ceil(len(sel_idx) * top_ratio)
+        for o in order[:k]:
+            keep[sel_idx[o]] = True
+    return keep
+
+
+class TestSelection:
+    def test_matches_reference(self, rng):
+        P = 128
+        for trial in range(5):
+            quality = rng.rand(P).astype(np.float32) * 10
+            gt_idx = rng.randint(0, 7, P).astype(np.int32)
+            level = rng.randint(0, 5, P).astype(np.int32)
+            mask = rng.rand(P) > 0.2
+            cand = PosCandidates(
+                idx=jnp.arange(P, dtype=jnp.int32),
+                mask=jnp.asarray(mask),
+                gt_idx=jnp.asarray(gt_idx),
+                level=jnp.asarray(level),
+            )
+            got = np.asarray(sample_selection(
+                cand, jnp.asarray(np.where(mask, quality, np.inf)),
+                num_gt=7, num_levels=5,
+            ))
+            expect = ref_selection(quality, gt_idx, level, mask, 7, 5)
+            np.testing.assert_array_equal(got, expect, err_msg=f"trial {trial}")
+
+    def test_single_positive_kept(self):
+        P = 16
+        mask = np.zeros(P, bool)
+        mask[3] = True
+        cand = PosCandidates(
+            idx=jnp.arange(P, dtype=jnp.int32),
+            mask=jnp.asarray(mask),
+            gt_idx=jnp.zeros(P, jnp.int32),
+            level=jnp.zeros(P, jnp.int32),
+        )
+        q = jnp.where(jnp.asarray(mask), 5.0, jnp.inf)
+        keep = np.asarray(sample_selection(cand, q, 4, 5))
+        assert keep[3] and keep.sum() == 1  # n < 2 -> keep all
+
+
+class TestCompaction:
+    def test_compacts_positives_in_order(self):
+        gt_inds = jnp.asarray(np.array([0, 2, 0, 1, 0, 0, 3, 0], np.int32))
+        level_ids = jnp.asarray(np.array([0, 0, 0, 1, 1, 2, 2, 2], np.int32))
+        cand = compact_positives(gt_inds, level_ids, max_pos=4)
+        idx = np.asarray(cand.idx)
+        mask = np.asarray(cand.mask)
+        assert idx[mask].tolist() == [1, 3, 6]
+        assert np.asarray(cand.gt_idx)[mask].tolist() == [1, 0, 2]
+        assert np.asarray(cand.level)[mask].tolist() == [0, 1, 2]
+
+    def test_overflow_drops_extras(self):
+        gt_inds = jnp.ones((10,), jnp.int32)
+        level_ids = jnp.zeros((10,), jnp.int32)
+        cand = compact_positives(gt_inds, level_ids, max_pos=4)
+        assert np.asarray(cand.mask).sum() == 4
+
+
+class TestEdgeSampling:
+    def test_corners_included(self, rng):
+        quads = jnp.asarray(rng.rand(3, 8).astype(np.float32) * 100)
+        pts = np.asarray(sample_edge_points(quads, 10))
+        assert pts.shape == (3, 40, 2)
+        q = np.asarray(quads).reshape(3, 4, 2)
+        # each edge sampling starts exactly at its corner
+        for e in range(4):
+            np.testing.assert_allclose(pts[:, e * 10], q[:, e], atol=1e-5)

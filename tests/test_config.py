@@ -1,0 +1,47 @@
+"""Config system + builder tests: all shipped configs build and their key
+values survive the Config round trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orientedreppoints_tpu.utils import Config, builder
+
+CONFIGS = [
+    "configs/dota/orientedreppoints_r50_demo.py",
+    "configs/dota/orientedreppoints_r101_demo.py",
+    "configs/dota/orientedreppoints_swin_tiny_demo.py",
+]
+
+
+class TestConfigs:
+    @pytest.mark.parametrize("path", CONFIGS)
+    def test_builds(self, path):
+        cfg = Config.fromfile(path)
+        model = builder.build_detector(cfg)
+        loss_cfg = builder.build_loss_config(cfg)
+        assert loss_cfg.point_base_scale == 2.0
+        assert loss_cfg.top_ratio == 0.4
+        assert loss_cfg.pos_iou_thr == 0.1
+        assert cfg.test_cfg["nms_pre"] == 2000
+        assert cfg.test_cfg["nms"]["iou_thr"] == 0.4
+        # pipelines assemble
+        from orientedreppoints_tpu.data.pipelines import build_pipeline
+
+        build_pipeline(cfg.data["train"]["pipeline"])
+        build_pipeline(cfg.data["test"]["pipeline"])
+
+    def test_r50_forward_from_config(self):
+        cfg = Config.fromfile(CONFIGS[0])
+        model = builder.build_detector(cfg, compute_dtype="float32")
+        imgs = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), imgs)
+        outs = model.apply(variables, imgs)
+        assert outs["cls_scores"][0].shape == (1, 16, 16, 15)
+
+    def test_merge_from_dict(self):
+        cfg = Config.fromfile(CONFIGS[0])
+        cfg.merge_from_dict({"test_cfg.score_thr": 0.3, "total_epochs": 12})
+        assert cfg.test_cfg["score_thr"] == 0.3
+        assert cfg.total_epochs == 12

@@ -1,0 +1,99 @@
+"""Pallas kernel parity tests (interpret mode on CPU, tiny shapes).
+
+The wrappers route to vmapped-XLA fallbacks off-TPU; these tests force the
+kernels through the interpreter to pin their numerics against cv2.
+NOTE: uses distinctive shapes so jit caches from fallback-path tests can't
+collide with the forced-interpret traces.
+"""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(autouse=True)
+def force_interpret(monkeypatch):
+    monkeypatch.setenv("ORP_FORCE_PALLAS_INTERPRET", "1")
+
+
+def random_quads(rng, n, scale=80.0, offset=300.0):
+    out = []
+    for _ in range(n):
+        cx, cy = rng.rand(2) * scale + offset
+        w, h = rng.rand(2) * 40 + 10
+        a = rng.rand() * np.pi
+        c, s = np.cos(a), np.sin(a)
+        r = np.array([[-w/2, -h/2], [w/2, -h/2], [w/2, h/2], [-w/2, h/2]])
+        out.append(((r @ [[c, s], [-s, c]]) + [cx, cy]).reshape(-1))
+    return np.array(out, np.float32)
+
+
+class TestQuadKernel:
+    def test_vs_cv2(self, rng):
+        from orientedreppoints_tpu.ops.pallas_quad_iou import (
+            quad_iou_matrix_pallas,
+        )
+
+        a = random_quads(rng, 9)
+        b = random_quads(rng, 11)
+        got = np.asarray(quad_iou_matrix_pallas(jnp.asarray(a), jnp.asarray(b)))
+        for i in range(9):
+            for j in range(11):
+                h1 = cv2.convexHull(a[i].reshape(4, 2))
+                h2 = cv2.convexHull(b[j].reshape(4, 2))
+                inter, _ = cv2.intersectConvexConvex(h1, h2)
+                a1, a2 = cv2.contourArea(h1), cv2.contourArea(h2)
+                exp = inter / max(a1 + a2 - inter, 1e-9)
+                assert got[i, j] == pytest.approx(exp, abs=1e-4), (i, j)
+
+
+class TestHullKernel:
+    def test_vs_cv2(self, rng):
+        from orientedreppoints_tpu.ops.pallas_quad_iou import (
+            hull_quad_iou_matrix_pallas,
+        )
+        from orientedreppoints_tpu.ops.pallas_minarearect import (
+            convex_hull_pallas,
+        )
+
+        pts = (rng.rand(13, 9, 2) * 60 + 310).astype(np.float32)
+        quads = random_quads(rng, 11)
+        hulls, counts = convex_hull_pallas(jnp.asarray(pts.reshape(13, 18)))
+        got = np.asarray(
+            hull_quad_iou_matrix_pallas(hulls, counts, jnp.asarray(quads))
+        )
+        for i in range(13):
+            for j in range(11):
+                h1 = cv2.convexHull(pts[i])
+                h2 = cv2.convexHull(quads[j].reshape(4, 2))
+                inter, _ = cv2.intersectConvexConvex(h1, h2)
+                a1, a2 = cv2.contourArea(h1), cv2.contourArea(h2)
+                exp = inter / max(a1 + a2 - inter, 1e-9)
+                assert got[i, j] == pytest.approx(exp, abs=1e-4), (i, j)
+
+
+class TestMinAreaRectKernel:
+    def test_vs_cv2(self, rng):
+        from orientedreppoints_tpu.ops.pallas_minarearect import (
+            min_area_rect_pallas,
+        )
+
+        pts = (rng.rand(21, 9, 2) * 120 + 400).astype(np.float32)
+        rects = np.asarray(min_area_rect_pallas(jnp.asarray(pts.reshape(21, 18))))
+        for i in range(21):
+            (cx, cy), (w, h), _ = cv2.minAreaRect(pts[i])
+            got_area = cv2.contourArea(rects[i].reshape(4, 2))
+            assert got_area == pytest.approx(w * h, rel=1e-3, abs=1e-2), i
+
+    def test_degenerate(self):
+        from orientedreppoints_tpu.ops.pallas_minarearect import (
+            min_area_rect_pallas,
+        )
+
+        rect = np.asarray(min_area_rect_pallas(jnp.ones((5, 18)) * 3.0))
+        assert np.allclose(rect, 3.0)

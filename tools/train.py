@@ -49,6 +49,14 @@ def parse_args():
 
 def main():
     args = parse_args()
+    # multi-host pod support (tools/dist_train.sh): one process per host,
+    # joined via the JAX coordinator (the NCCL init_dist analogue)
+    if os.environ.get("ORP_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["ORP_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["ORP_NUM_PROCESSES"]),
+            process_id=int(os.environ["ORP_PROCESS_ID"]),
+        )
     cfg = Config.fromfile(args.config)
     work_dir = args.work_dir or cfg.get("work_dir", "work_dirs/default")
     os.makedirs(work_dir, exist_ok=True)
