@@ -39,6 +39,8 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--eval", action="store_true",
                    help="tile-level oriented mAP vs dataset annotations")
+    p.add_argument("--flip_tta", action="store_true",
+                   help="aug_test: horizontal-flip TTA with merged rnms")
     return p.parse_args()
 
 
@@ -91,6 +93,34 @@ def main():
             max_per_img=tc["max_per_img"],
             scale_factor=scale_factor,
         )
+
+    if args.flip_tta:
+        # aug_test parity (orientedreppoints_detector.py:111-144): decode
+        # both orientations without NMS, map back, one merged rnms
+        from orientedreppoints_tpu.models import decode_no_nms, merge_aug_and_nms
+
+        @jax.jit
+        def infer(v, imgs, scale_factor):
+            b1, s1 = decode_no_nms(model.apply(v, imgs), nms_pre=tc["nms_pre"])
+            b2, s2 = decode_no_nms(
+                model.apply(v, imgs[:, :, ::-1]), nms_pre=tc["nms_pre"]
+            )
+            img_shape = (imgs.shape[1], imgs.shape[2])
+
+            def per_image(args_):
+                bb1, ss1, bb2, ss2, sf = args_
+                return merge_aug_and_nms(
+                    [bb1, bb2], [ss1, ss2], [False, True], img_shape, sf,
+                    score_thr=tc["score_thr"], iou_thr=tc["nms"]["iou_thr"],
+                    max_per_img=tc["max_per_img"],
+                )
+
+            dets, labels, valid = jax.lax.map(
+                per_image,
+                (b1, s1, b2, s2, scale_factor.reshape(-1)),
+            )
+            # pad a zero reppoints block so downstream [:, -9:] slicing works
+            return dets, labels, valid
 
     n = len(dataset) if args.max_images is None else min(
         args.max_images, len(dataset))
