@@ -619,3 +619,37 @@ def quad_iou_matrix(quads1: jnp.ndarray, quads2: jnp.ndarray) -> jnp.ndarray:
     """(n, m) exact IoU matrix between two quad sets ((n,8), (m,8))."""
     fn = jax.vmap(jax.vmap(quad_iou_single, in_axes=(None, 0)), in_axes=(0, None))
     return fn(quads1, quads2)
+
+
+# ---------------------------------------------------------------------------
+# Rotated-box (xywhθ) utilities and IoU (reference: mmdet/ops/box_iou_rotated)
+# ---------------------------------------------------------------------------
+
+
+def rbox_to_quad(rboxes: jnp.ndarray) -> jnp.ndarray:
+    """(n, 5) [cx, cy, w, h, angle] -> (n, 8) corner polys (device jnp).
+
+    Corner order tl, tr, br, bl rotated by angle (same convention as the
+    host-side core.rbox.rbox2poly before best-begin normalization).
+    """
+    r = rboxes.astype(jnp.float32)
+    cx, cy, w, h, ang = (r[:, k] for k in range(5))
+    dx, dy = w / 2, h / 2
+    lx = jnp.stack([-dx, dx, dx, -dx], axis=1)
+    ly = jnp.stack([-dy, -dy, dy, dy], axis=1)
+    cos, sin = jnp.cos(ang)[:, None], jnp.sin(ang)[:, None]
+    gx = cos * lx - sin * ly + cx[:, None]
+    gy = sin * lx + cos * ly + cy[:, None]
+    return jnp.stack([gx, gy], axis=2).reshape(-1, 8)
+
+
+def box_iou_rotated(rboxes1: jnp.ndarray, rboxes2: jnp.ndarray) -> jnp.ndarray:
+    """(n, 5) x (m, 5) xywhθ rotated-box IoU matrix.
+
+    Reference op: mmdet/ops/box_iou_rotated (detectron2 lineage; built but
+    unused by the oriented pipeline per SURVEY §2.2 #11).  Routed through
+    the fused Pallas quad-IoU kernel.
+    """
+    from .pallas_quad_iou import quad_iou_matrix_pallas
+
+    return quad_iou_matrix_pallas(rbox_to_quad(rboxes1), rbox_to_quad(rboxes2))
