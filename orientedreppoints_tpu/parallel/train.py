@@ -156,18 +156,31 @@ def build_optimizer(
     return tx
 
 
-def make_train_step(model, loss_cfg: LossConfig, mesh: Mesh | None = None):
+def make_train_step(
+    model,
+    loss_cfg: LossConfig,
+    mesh: Mesh | None = None,
+    dropout_rng: jax.Array | None = None,
+):
     """Build the jitted SPMD train step.
 
     batch dict: images (B,H,W,3), gt_polys (B,G,8), gt_labels (B,G),
     gt_valid (B,G), img_hw (B,2).
     When `mesh` is given, inputs are sharded batch-first on 'data' and
     params/opt_state replicated — XLA inserts the grad all-reduce over ICI.
-    """
 
-    def loss_fn(params, batch_stats, batch):
+    Training runs the model non-deterministically with a per-step dropout
+    rng (folded in from `dropout_rng` by state.step), so stochastic depth
+    (Swin DropPath 0.2, reference swin_transformer.py drop_path + swin
+    config) actually fires during training; deterministic backbones
+    (ResNet) ignore it, so their graphs are unchanged.
+    """
+    base_rng = dropout_rng if dropout_rng is not None else jax.random.key(0)
+
+    def loss_fn(params, batch_stats, batch, rng):
         outs = model.apply(
-            {"params": params, "batch_stats": batch_stats}, batch["images"]
+            {"params": params, "batch_stats": batch_stats}, batch["images"],
+            deterministic=False, rngs={"dropout": rng},
         )
         losses = compute_losses(
             outs,
@@ -180,8 +193,9 @@ def make_train_step(model, loss_cfg: LossConfig, mesh: Mesh | None = None):
         return total, losses
 
     def step(state: TrainState, batch):
+        rng = jax.random.fold_in(base_rng, state.step)
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch
+            state.params, state.batch_stats, batch, rng
         )
         new_state = state.apply_gradients(grads)
         losses["loss_total"] = total

@@ -173,6 +173,70 @@ class TestTrainStep:
         assert not np.allclose(l2_0, np.asarray(l2_1))
 
 
+class TestDropPath:
+    """Stochastic depth must actually fire in training (VERDICT weak #2)."""
+
+    TINY_SWIN = dict(embed_dim=24, depths=(1, 1), num_heads=(2, 2),
+                     out_indices=(0, 1), drop_path_rate=0.5, window_size=4)
+
+    def test_swin_drop_path_stochastic(self, rng):
+        from orientedreppoints_tpu.models.swin import SwinTransformer
+        m = SwinTransformer(**self.TINY_SWIN)
+        x = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(0), x)
+        det = m.apply(v, x, True)
+        # deterministic path ignores rngs and is reproducible
+        det2 = m.apply(v, x, True, rngs={"dropout": jax.random.PRNGKey(1)})
+        for a, b in zip(det, det2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # training path: different dropout rngs -> different activations
+        s1 = m.apply(v, x, False, rngs={"dropout": jax.random.PRNGKey(1)})
+        s2 = m.apply(v, x, False, rngs={"dropout": jax.random.PRNGKey(2)})
+        assert not np.allclose(np.asarray(s1[-1]), np.asarray(s2[-1]))
+        # and differs from the deterministic output
+        assert not np.allclose(np.asarray(s1[-1]), np.asarray(det[-1]))
+
+    def test_train_step_threads_dropout_rng(self, rng):
+        """Two train steps that differ ONLY in the dropout base rng give
+        different losses for a drop-path>0 Swin detector, and identical
+        losses for a deterministic ResNet."""
+        batch = make_batch(rng, 2)
+        batch["images"] = batch["images"][:, :64, :64]
+        batch["img_hw"] = jnp.full((2, 2), 64, jnp.int32)
+        cfg = LossConfig(max_pos=32)
+
+        def loss_with_rng(model, key):
+            variables = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+            )
+            params = jax.tree.map(jnp.copy, variables["params"])
+            tx = build_optimizer(params, lr_schedule(iters_per_epoch=10))
+            state = TrainState(
+                step=jnp.zeros((), jnp.int32), params=params,
+                batch_stats=jax.tree.map(
+                    jnp.copy, variables.get("batch_stats", {})),
+                opt_state=tx.init(params), tx=tx,
+            )
+            step_fn = make_train_step(model, cfg,
+                                      dropout_rng=jax.random.key(key))
+            _, losses = step_fn(state, batch)
+            return float(losses["loss_total"])
+
+        swin = OrientedRepPointsDetector(
+            backbone_type="swin", num_classes=16, num_levels=5,
+            backbone_kwargs=self.TINY_SWIN,
+        )
+        l1 = loss_with_rng(swin, 1)
+        l2 = loss_with_rng(swin, 2)
+        assert np.isfinite(l1) and np.isfinite(l2)
+        assert l1 != l2, "drop-path did not fire in the train step"
+
+        resnet = OrientedRepPointsDetector(depth=18, num_classes=16)
+        r1 = loss_with_rng(resnet, 1)
+        r2 = loss_with_rng(resnet, 2)
+        assert r1 == r2, "deterministic backbone loss changed with rng"
+
+
 class TestSchedule:
     def test_lr_schedule(self):
         sched = lr_schedule(base_lr=0.008, iters_per_epoch=100)
