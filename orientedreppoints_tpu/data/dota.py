@@ -94,9 +94,19 @@ class DotaDataset:
 
     def __getitem__(self, idx):
         results = self.get_raw(idx)
-        if self.pipeline is not None:
-            results = self.pipeline(results)
-        return results
+        if self.pipeline is None:
+            return results
+        from .pipelines import MultiSamplePipeline
+
+        if isinstance(self.pipeline, MultiSamplePipeline):
+            # mosaic/mixup pipelines pull extra random samples (the
+            # reference indexes the dataset from inside poly_transforms)
+            rng = np.random
+            return self.pipeline(
+                results,
+                getter=lambda: self.get_raw(rng.randint(len(self))),
+            )
+        return self.pipeline(results)
 
 
 class HrscDataset(DotaDataset):

@@ -134,23 +134,51 @@ class DataLoader:
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = object()
+        stop_evt = threading.Event()
+        end = object()
+        errors: list[BaseException] = []
+
+        def put_until(item) -> bool:
+            """Put with shutdown polling; False if the consumer is gone."""
+            while not stop_evt.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for b in self._iter_epoch():
-                    q.put(b)
+                    if not put_until(b):
+                        return
+            except BaseException as e:  # surface in the consumer
+                errors.append(e)
             finally:
-                q.put(stop)
+                put_until(end)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        self.epoch += 1
+        try:
+            while True:
+                item = q.get()
+                if item is end:
+                    break
+                yield item
+        finally:
+            # consumer may abandon the iterator mid-epoch (max_iters break);
+            # unblock + join the worker so no thread outlives the epoch
+            stop_evt.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=10.0)
+            self.epoch += 1
+            if errors:
+                raise errors[0]
 
     def __len__(self):
         return len(

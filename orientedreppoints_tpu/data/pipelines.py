@@ -36,13 +36,7 @@ def register(cls):
     return cls
 
 
-def build_pipeline(cfgs: Sequence[dict]):
-    steps = []
-    for cfg in cfgs:
-        cfg = dict(cfg)
-        t = cfg.pop("type")
-        steps.append(PIPELINES[t](**cfg))
-
+def _compose(steps):
     def run(results):
         for s in steps:
             results = s(results)
@@ -51,6 +45,37 @@ def build_pipeline(cfgs: Sequence[dict]):
         return results
 
     return run
+
+
+def build_pipeline(cfgs: Sequence[dict]):
+    """Build a pipeline callable from mmdet-style config dicts.
+
+    If the config contains multi-sample fusion stages (PolyMosaic /
+    PolyMosaic9 / MixUp), returns a MultiSamplePipeline — the dataset then
+    feeds it extra random samples (reference enables these via
+    poly_transforms entries in the train pipeline, Poly_Mosaic_
+    RandomPerspective / MixUp, poly_transforms.py:548-1023).
+    """
+    steps = []
+    for cfg in cfgs:
+        cfg = dict(cfg)
+        t = cfg.pop("type")
+        steps.append(PIPELINES[t](**cfg))
+
+    fusion_idx = [
+        i for i, s in enumerate(steps) if getattr(s, "NUM_SAMPLES", 1) > 1
+    ]
+    if not fusion_idx:
+        return _compose(steps)
+    first, last = fusion_idx[0], fusion_idx[-1]
+    assert fusion_idx == list(range(first, last + 1)), (
+        "fusion stages (PolyMosaic/MixUp) must be contiguous in the pipeline"
+    )
+    return MultiSamplePipeline(
+        pre=_compose(steps[:first]),
+        fusions=steps[first : last + 1],
+        post=_compose(steps[last + 1 :]),
+    )
 
 
 @register
@@ -361,9 +386,12 @@ class PolyMosaic:
     samples onto a 2s x 2s canvas around a random center, offset their
     polys, then (ifcrop) apply a random affine (rotate/translate/scale/
     shear/perspective) cropping back to s x s and filter degenerate boxes
-    (w, h > 5 px, center in bounds).  Input: list of 4 results dicts (see
-    data.loader MultiSampleWrapper); output: one results dict.
+    (w, h > 5 px, center in bounds).  Input: list of 4 results dicts, fed
+    by MultiSamplePipeline (build_pipeline wires it automatically when
+    this stage appears in a pipeline config); output: one results dict.
     """
+
+    NUM_SAMPLES = 4
 
     def __init__(self, degrees=0, translate=0, scale=0, shear=0,
                  perspective=0.0, ifcrop=True, mosaic_ratio=0.5):
@@ -494,6 +522,8 @@ class MixUp:
     """Blend two samples: img = r*img1 + (1-r)*img2, r ~ Beta(8, 8);
     gts concatenated (poly_transforms.py:969-1023)."""
 
+    NUM_SAMPLES = 2
+
     def __init__(self, mixup_ratio=0.5):
         self.mixup_ratio = mixup_ratio
 
@@ -524,32 +554,170 @@ class MixUp:
         return out
 
 
-class MultiSamplePipeline:
-    """Run per-sample stages on N random samples, then multi-sample stages.
+@register
+class PolyMosaic9(PolyMosaic):
+    """9-image mosaic (reference Poly_Mosaic_RandomPerspective Mosaic=9
+    path, poly_transforms.py:548-966, behavioral re-implementation).
 
-    The reference feeds lists of results through its pipeline when mosaic/
-    mixup are enabled (poly_transforms multi_img_call paths); here the
-    split is explicit: `per_sample` stages run on each of `num_samples`
-    dataset items, `fusion` stages (PolyMosaic / MixUp) see the list.
+    Nine samples tile a 3s x 3s canvas on a 3x3 grid, each image anchored
+    toward the center cell; a random 2s x 2s window is cropped and then the
+    same random-perspective/affine step as the 4-mosaic maps it to s x s.
     """
 
-    def __init__(self, dataset_getter, per_sample, fusion, num_samples=4):
-        self.getter = dataset_getter
-        self.per_sample = per_sample
-        self.fusion = fusion
-        self.num_samples = num_samples
+    NUM_SAMPLES = 9
+
+    def _mosaic9(self, results_9):
+        s = max(max(r["img"].shape[:2]) for r in results_9)
+        canvas = np.full((3 * s, 3 * s, 3), 114, results_9[0]["img"].dtype)
+        polys_all, labels_all = [], []
+        # grid order: center first, then the 8 neighbors
+        cells = [(1, 1), (0, 0), (0, 1), (0, 2), (1, 0), (1, 2), (2, 0),
+                 (2, 1), (2, 2)]
+        for (gy, gx), r in zip(cells, results_9):
+            img = r["img"]
+            h, w = img.shape[:2]
+            h, w = min(h, s), min(w, s)
+            # anchor each image's corner nearest the center cell
+            y0 = gy * s + (s - h if gy == 0 else 0)
+            x0 = gx * s + (s - w if gx == 0 else 0)
+            canvas[y0 : y0 + h, x0 : x0 + w] = img[:h, :w]
+            polys = r.get("gt_bboxes", np.zeros((0, 8), np.float32)).copy()
+            if len(polys):
+                polys[:, 0::2] += x0
+                polys[:, 1::2] += y0
+                polys_all.append(polys)
+                labels_all.append(r.get("gt_labels", np.zeros(0, np.int64)))
+        polys = (np.concatenate(polys_all) if polys_all
+                 else np.zeros((0, 8), np.float32))
+        labels = (np.concatenate(labels_all) if labels_all
+                  else np.zeros((0,), np.int64))
+        # random 2s x 2s window
+        yc = int(np.random.uniform(0, s))
+        xc = int(np.random.uniform(0, s))
+        canvas = canvas[yc : yc + 2 * s, xc : xc + 2 * s]
+        if len(polys):
+            polys[:, 0::2] -= xc
+            polys[:, 1::2] -= yc
+        return canvas, polys, labels, s
 
     def __call__(self, results):
-        samples = [self.per_sample(results)]
-        for _ in range(self.num_samples - 1):
-            extra = self.getter()
-            extra = self.per_sample(extra)
-            if extra is not None:
-                samples.append(extra)
-        out = [s for s in samples if s is not None]
-        if not out:
+        if not isinstance(results, list):
+            return results
+        if np.random.rand() >= self.mosaic_ratio or len(results) < 9:
+            return results[0]
+        canvas, polys, labels, s = self._mosaic9(results[:9])
+        if self.ifcrop:
+            canvas, polys, labels = self._random_perspective(
+                canvas, polys, labels, s)
+            h = w = s
+        else:
+            h, w = canvas.shape[:2]
+        polys, labels = self._filter(polys, labels, h, w)
+        if len(polys) == 0:
             return None
-        return self.fusion(out)
+        out = dict(results[0])
+        out["img"] = canvas
+        out["img_shape"] = canvas.shape
+        out["gt_bboxes"] = polys
+        out["gt_labels"] = labels
+        return out
+
+
+@register
+class PolyImgPlot:
+    """Debug visualization stage: draw the current gt polys on the image
+    and save to `img_save_path` (reference PolyImgPlot,
+    poly_transforms.py:17-76). Pass-through for the pipeline."""
+
+    _COLORS = [
+        (54, 67, 244), (99, 30, 233), (176, 39, 156), (183, 58, 103),
+        (181, 81, 63), (243, 150, 33), (212, 188, 0), (136, 150, 0),
+        (80, 175, 76), (74, 195, 139), (57, 220, 205), (59, 235, 255),
+        (0, 152, 255), (34, 87, 255), (72, 85, 121), (180, 180, 180),
+    ]
+
+    def __init__(self, img_save_path="work_dirs/pipeline_vis",
+                 max_imgs: int = 100):
+        self.save_path = img_save_path
+        self.max_imgs = max_imgs
+        self._count = 0
+
+    def __call__(self, results):
+        if results is None or self._count >= self.max_imgs:
+            return results
+        import os
+
+        os.makedirs(self.save_path, exist_ok=True)
+        img = np.ascontiguousarray(results["img"]).astype(np.uint8).copy()
+        polys = results.get("gt_bboxes", np.zeros((0, 8), np.float32))
+        labels = results.get("gt_labels", np.zeros((len(polys),), np.int64))
+        for poly, lab in zip(polys, labels):
+            color = self._COLORS[int(lab) % len(self._COLORS)]
+            cv2.polylines(
+                img, [np.round(poly).astype(np.int32).reshape(4, 2)],
+                True, color, 2,
+            )
+        cv2.imwrite(
+            osp.join(self.save_path, f"sample_{self._count:05d}.png"), img
+        )
+        self._count += 1
+        return results
+
+
+class MultiSamplePipeline:
+    """Pipeline with multi-sample fusion stages (mosaic / mixup).
+
+    The reference feeds lists of results through its pipeline when mosaic/
+    mixup are enabled (poly_transforms multi-image paths); here the split
+    is explicit: `pre` stages run per sample, each fusion stage consumes
+    NUM_SAMPLES fused results of the previous one (e.g. [PolyMosaic,
+    MixUp] mixes two independent 4-image mosaics), `post` stages run on
+    the single fused result.
+
+    The dataset calls it as pipeline(results, getter) where `getter()`
+    yields a raw results dict for a random extra sample.
+    """
+
+    def __init__(self, pre, fusions, post):
+        self.pre = pre
+        self.fusions = fusions
+        self.post = post
+        n = 1
+        for f in fusions:
+            n *= f.NUM_SAMPLES
+        self.num_samples = n
+
+    def _materialize(self, results, getter, need):
+        out = []
+        r0 = self.pre(results)
+        if r0 is not None:
+            out.append(r0)
+        tries = 0
+        while len(out) < need and tries < need * 5:
+            r = self.pre(getter())
+            if r is not None:
+                out.append(r)
+            tries += 1
+        return out
+
+    def __call__(self, results, getter=None):
+        if getter is None:
+            raise TypeError(
+                "MultiSamplePipeline needs a sample getter — use it through "
+                "a dataset (DotaDataset passes one automatically)"
+            )
+        samples = self._materialize(results, getter, self.num_samples)
+        if not samples:
+            return None
+        for f in self.fusions:
+            n = f.NUM_SAMPLES
+            groups = [samples[i : i + n] for i in range(0, len(samples), n)]
+            samples = [
+                r for r in (f(g) for g in groups if g) if r is not None
+            ]
+            if not samples:
+                return None
+        return self.post(samples[0])
 
 
 @register
