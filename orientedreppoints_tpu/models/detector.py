@@ -187,18 +187,34 @@ def merge_aug_and_nms(
     iou_thr: float = 0.4,
     max_per_img: int = 2000,
 ):
-    """Flip-TTA merge: map each aug's boxes back, concat, one rotated NMS.
+    """Multi-scale / flip TTA merge: map each aug's boxes back to the
+    original image frame, concat, one rotated NMS.
 
     aug_boxes: list of (N, 8) per aug; aug_scores: list of (N, C+1);
-    flips: list of bool (horizontal); mirrors merge_aug_results + rnms
-    (orientedreppoints_detector.py:81-136).
+    flips: list of bool (horizontal flip per aug);
+    img_shape: one (h, w) or a per-aug list — the shape the flip was
+    applied in (each aug's own test-scale frame);
+    scale_factor: one scalar or a per-aug list of resize factors to undo.
+
+    Mirrors merge_aug_results + rbbox_mapping_back + rnms
+    (orientedreppoints_detector.py:81-136, core/bbox/transforms.py:298-301:
+    unflip in the aug's img_shape first, THEN divide by its scale_factor).
     """
+    n = len(aug_boxes)
+    shapes = (
+        img_shape if isinstance(img_shape, (list, tuple))
+        and isinstance(img_shape[0], (list, tuple))
+        else [img_shape] * n
+    )
+    sfs = (
+        list(scale_factor) if isinstance(scale_factor, (list, tuple))
+        else [scale_factor] * n
+    )
     recovered = []
-    for boxes, flip in zip(aug_boxes, flips):
+    for boxes, flip, shp, sf in zip(aug_boxes, flips, shapes, sfs):
         if flip:
-            flipped = boxes.at[:, 0::2].set(img_shape[1] - boxes[:, 0::2] - 1)
-            boxes = flipped
-        recovered.append(boxes / scale_factor)
+            boxes = boxes.at[:, 0::2].set(shp[1] - boxes[:, 0::2] - 1)
+        recovered.append(boxes / sf)
     boxes = jnp.concatenate(recovered, axis=0)
     scores = jnp.concatenate(aug_scores, axis=0)
     return multiclass_rnms(

@@ -41,6 +41,11 @@ def parse_args():
                    help="tile-level oriented mAP vs dataset annotations")
     p.add_argument("--flip_tta", action="store_true",
                    help="aug_test: horizontal-flip TTA with merged rnms")
+    p.add_argument("--ms_tta",
+                   help="comma-separated relative test scales for "
+                        "multi-scale TTA, e.g. '0.75,1.0,1.25'; combine "
+                        "with --flip_tta to also flip every scale "
+                        "(MultiScaleFlipAug parity)")
     return p.parse_args()
 
 
@@ -94,33 +99,89 @@ def main():
             scale_factor=scale_factor,
         )
 
-    if args.flip_tta:
+    # TTA spec: list of (relative_scale, flip) augs (MultiScaleFlipAug
+    # parity: every scale, optionally x both orientations)
+    tta_augs = None
+    if args.ms_tta:
+        scales = [float(s) for s in args.ms_tta.split(",")]
+        flips = (False, True) if args.flip_tta else (False,)
+        tta_augs = [(r, f) for r in scales for f in flips]
+    elif args.flip_tta:
+        tta_augs = [(1.0, False), (1.0, True)]
+
+    if tta_augs is not None:
         # aug_test parity (orientedreppoints_detector.py:111-144): decode
-        # both orientations without NMS, map back, one merged rnms
-        from orientedreppoints_tpu.models import decode_no_nms, merge_aug_and_nms
+        # every aug without NMS, map back (unflip in the aug frame, undo
+        # its scale: rbbox_mapping_back), one merged rnms
+        from orientedreppoints_tpu.models import (
+            decode_no_nms, merge_aug_and_nms,
+        )
+
+        num_augs = len(tta_augs)
+        aug_flips = [f for _, f in tta_augs]
 
         @jax.jit
-        def infer(v, imgs, scale_factor):
-            b1, s1 = decode_no_nms(model.apply(v, imgs), nms_pre=tc["nms_pre"])
-            b2, s2 = decode_no_nms(
-                model.apply(v, imgs[:, :, ::-1]), nms_pre=tc["nms_pre"]
-            )
-            img_shape = (imgs.shape[1], imgs.shape[2])
+        def infer_tta(v, imgs_augs, sf_augs):
+            """imgs_augs: (A, B, H, W, 3) canvases; sf_augs: (A, B)."""
+            boxes_a, scores_a = [], []
+            for ai, flip in enumerate(aug_flips):
+                x = imgs_augs[ai]
+                if flip:
+                    x = x[:, :, ::-1]
+                b, s = decode_no_nms(model.apply(v, x),
+                                     nms_pre=tc["nms_pre"])
+                boxes_a.append(b)
+                scores_a.append(s)
+            boxes_all = jnp.stack(boxes_a, axis=1)  # (B, A, N, 8)
+            scores_all = jnp.stack(scores_a, axis=1)
+            img_shape = (imgs_augs.shape[2], imgs_augs.shape[3])
 
             def per_image(args_):
-                bb1, ss1, bb2, ss2, sf = args_
+                bb, ss, sf = args_  # (A,N,8), (A,N,C+1), (A,)
                 return merge_aug_and_nms(
-                    [bb1, bb2], [ss1, ss2], [False, True], img_shape, sf,
+                    [bb[a] for a in range(num_augs)],
+                    [ss[a] for a in range(num_augs)],
+                    aug_flips, img_shape,
+                    [sf[a] for a in range(num_augs)],
                     score_thr=tc["score_thr"], iou_thr=tc["nms"]["iou_thr"],
                     max_per_img=tc["max_per_img"],
                 )
 
-            dets, labels, valid = jax.lax.map(
-                per_image,
-                (b1, s1, b2, s2, scale_factor.reshape(-1)),
+            return jax.lax.map(
+                per_image, (boxes_all, scores_all, sf_augs.T)
             )
-            # pad a zero reppoints block so downstream [:, -9:] slicing works
-            return dets, labels, valid
+
+        def infer(v, imgs, scale_factor):
+            """Build per-aug canvases host-side, run the jitted TTA path.
+
+            imgs: (B, H, W, 3) already-padded canvases at pipeline scale;
+            scale_factor: (B, 1, 1) pipeline resize factors.
+            """
+            import cv2
+
+            imgs = np.asarray(imgs)
+            sfs = np.asarray(scale_factor).reshape(-1)
+            bsz, ch, cw = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+            imgs_augs = np.zeros((num_augs, bsz, ch, cw, 3), np.float32)
+            sf_augs = np.zeros((num_augs, bsz), np.float32)
+            for ai, (r, _) in enumerate(tta_augs):
+                for bi in range(bsz):
+                    if r == 1.0:
+                        imgs_augs[ai, bi] = imgs[bi]
+                    else:
+                        rh, rw = int(round(ch * r)), int(round(cw * r))
+                        resized = cv2.resize(
+                            imgs[bi], (rw, rh),
+                            interpolation=cv2.INTER_LINEAR,
+                        )
+                        # r > 1 crops bottom/right overflow (content sits
+                        # top-left on the canvas)
+                        imgs_augs[ai, bi, : min(rh, ch), : min(rw, cw)] = (
+                            resized[:ch, :cw]
+                        )
+                    sf_augs[ai, bi] = sfs[bi] * r
+            return infer_tta(v, jnp.asarray(imgs_augs),
+                             jnp.asarray(sf_augs))
 
     n = len(dataset) if args.max_images is None else min(
         args.max_images, len(dataset))
