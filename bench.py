@@ -3,10 +3,20 @@
 on one TPU chip (forward + decode + rotated NMS, end-to-end on device).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the reference V100 mmdetection baseline of
-~12 patches/s/GPU for R-50 single-stage oriented detectors at 1024^2
-(mmdet model-zoo inference numbers for RetinaNet/RepPoints-class models;
-the reference repo publishes no throughput, see BASELINE.md).
+
+vs_baseline denominator: the reference publishes no throughput, so the
+baseline is ASSERTED from the mmdetection v2 model zoo it builds on:
+RepPoints R-50-FPN 1x reports 13.5 img/s on V100 at 1333x800 (1.07 MP,
+within 2% of 1024^2 = 1.05 MP); the oriented variant adds two DCN-style
+point convs and polygon NMS, so we use 12 patches/s as the V100 figure.
+No V100 exists in this environment to measure it directly — treat
+`value` (absolute patches/s/chip) as the primary metric and vs_baseline
+as an anchor. See BASELINE.md.
+
+Hygiene: the timed pass runs on inputs DISJOINT from the warmup pass
+(the axon relay can serve repeated identical dispatches from a cache),
+and completion is forced by a scalar host fetch (relay block_until_ready
+does not block).
 """
 
 from __future__ import annotations
@@ -53,13 +63,18 @@ def main():
         # pollute the timing
         return jnp.sum(jax.lax.map(lambda x: infer_one(v, x), xs))
 
-    batches = jnp.asarray(
+    # two disjoint input sets, both pre-staged on device: warm on one,
+    # time on the other so a dispatch cache cannot serve the timed pass
+    warm_batches = jax.device_put(jnp.asarray(
         rng.rand(ITERS, BATCH, 1024, 1024, 3).astype(np.float32)
-    )
-    float(infer_many(variables, batches))  # compile + warm (same shape)
+    ))
+    timed_batches = jax.device_put(jnp.asarray(
+        rng.rand(ITERS, BATCH, 1024, 1024, 3).astype(np.float32)
+    ))
+    float(infer_many(variables, warm_batches))  # compile + warm
 
     t0 = time.time()
-    float(infer_many(variables, batches))
+    float(infer_many(variables, timed_batches))
     dt = time.time() - t0
     patches_per_s = BATCH * ITERS / dt
 

@@ -106,9 +106,14 @@ def evaluate_results(results: dict, dataset, iou_thr: float = 0.5,
     """In-memory tile-level oriented mAP against the dataset annotations.
 
     The EvalHook analogue: no files, exact polygon IoU, VOC AP per class.
-    Returns (mAP, {class: ap}).
+    Matching mirrors the authoritative devkit evaluator
+    (devkit/evaluation.py voc_eval_poly): HBB-IoU prefilter before the
+    exact polygon IoU, and VOC difficult semantics — difficult gts are
+    excluded from npos and detections matching them count as neither TP
+    nor FP. Returns (mAP, {class: ap}).
     """
-    num_classes = len(dataset.CLASSES)
+    from .devkit.evaluation import _hbb_iou_prefilter
+
     name_to_idx = {
         osp.splitext(info["file_name"])[0]: i
         for i, info in enumerate(dataset.img_infos)
@@ -122,8 +127,12 @@ def evaluate_results(results: dict, dataset, iou_thr: float = 0.5,
             ann = dataset.anns[di]
             mask = ann["labels"] == (ci + 1)
             boxes = ann["bboxes"][mask]
-            gt[name] = dict(bbox=boxes, det=[False] * len(boxes))
-            npos += len(boxes)
+            difficult = np.asarray(
+                ann.get("difficult", np.zeros(len(ann["labels"])))
+            )[mask].astype(bool)
+            gt[name] = dict(bbox=boxes, difficult=difficult,
+                            det=[False] * len(boxes))
+            npos += int((~difficult).sum())
         # gather dets
         recs = []
         for name, per_class in results.items():
@@ -140,13 +149,26 @@ def evaluate_results(results: dict, dataset, iou_thr: float = 0.5,
         for d, (name, score, poly) in enumerate(recs):
             R = gt[name]
             ovmax, jmax = -np.inf, -1
-            for j, g in enumerate(R["bbox"]):
-                iou = poly_iou(g, poly)
-                if iou > ovmax:
-                    ovmax, jmax = iou, j
-            if ovmax > iou_thr and not R["det"][jmax]:
-                tp[d] = 1
-                R["det"][jmax] = True
+            gts = R["bbox"]
+            if gts.size > 0:
+                cand = np.where(
+                    _hbb_iou_prefilter(gts.astype(np.float64),
+                                       poly.astype(np.float64)) > 0
+                )[0]
+                overlaps = np.array(
+                    [poly_iou(gts[j], poly) for j in cand], np.float64
+                )
+                if overlaps.size > 0:
+                    k = int(np.argmax(overlaps))
+                    ovmax, jmax = overlaps[k], int(cand[k])
+            if ovmax > iou_thr:
+                if not R["difficult"][jmax]:
+                    if not R["det"][jmax]:
+                        tp[d] = 1
+                        R["det"][jmax] = True
+                    else:
+                        fp[d] = 1
+                # difficult match: neither tp nor fp (VOC semantics)
             else:
                 fp[d] = 1
         fp = np.cumsum(fp)

@@ -218,6 +218,13 @@ def compute_losses(outs, gt_polys, gt_labels, gt_valid, img_hw, cfg: LossConfig)
 
     num_pos = jnp.sum(keep)
 
+    # positives beyond the max_pos candidate cap never reach APAA and are
+    # demoted to background below; surface the overflow so dense scenes
+    # (small-vehicle tiles can exceed 1k refine positives) are visible in
+    # training logs instead of silently losing supervision
+    pos_per_img = jnp.sum(refine_tg.gt_inds > 0, axis=1)  # (B,)
+    overflow_pos = jnp.sum(jnp.maximum(pos_per_img - cfg.max_pos, 0))
+
     # ---- demotion: unselected positives become background -------------------
     # scatter keep back to the full point set (cand.idx is a slice of a
     # permutation, so indices are unique per image and .set is safe)
@@ -289,4 +296,6 @@ def compute_losses(outs, gt_polys, gt_labels, gt_valid, img_hw, cfg: LossConfig)
         "loss_spatial_init": loss_spatial_init,
         "loss_spatial_refine": loss_spatial_refine,
         "num_pos": num_pos.astype(jnp.float32),
+        "num_assigned_pos": jnp.sum(pos_per_img).astype(jnp.float32),
+        "overflow_pos": overflow_pos.astype(jnp.float32),
     }

@@ -53,7 +53,7 @@ class DotaDataset:
         self.anns = []
         for img in coco["images"]:
             anns = anns_by_img.get(img["id"], [])
-            polys, labels = [], []
+            polys, labels, difficult = [], [], []
             for a in anns:
                 if a.get("iscrowd", 0):
                     continue
@@ -62,6 +62,7 @@ class DotaDataset:
                     continue
                 polys.append(bbox)
                 labels.append(self.cat_id_to_label[a["category_id"]])
+                difficult.append(int(a.get("difficult", 0)))
             if filter_empty and not test_mode and len(polys) == 0:
                 continue
             self.img_infos.append(img)
@@ -73,6 +74,7 @@ class DotaDataset:
                         else np.zeros((0, 8), np.float32)
                     ),
                     labels=np.asarray(labels, np.int64),
+                    difficult=np.asarray(difficult, np.int64),
                 )
             )
         # aspect-ratio group flag (w/h > 1 -> group 1)

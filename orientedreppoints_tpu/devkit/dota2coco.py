@@ -63,6 +63,9 @@ def dota2coco_train(
                     "segmentation": [poly],
                     "iscrowd": 0,
                     "area": util.poly_area(poly),
+                    # carried so per-epoch val can apply VOC difficult
+                    # semantics (reference evals ignore difficult gts)
+                    "difficult": int(obj["difficult"]),
                 }
             )
             inst_id += 1

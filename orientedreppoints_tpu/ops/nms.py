@@ -67,6 +67,134 @@ def rotated_nms_mask(
     return keep
 
 
+def hbb_iou_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise horizontal-box IoU. a: (N, 4), b: (M, 4) x1y1x2y2."""
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt, min=0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def _greedy_suppress(iou, scores, iou_thr, valid):
+    """Shared greedy scan over a precomputed pairwise IoU matrix.
+
+    Returns keep (N,) bool in the ORIGINAL order.
+    """
+    n = scores.shape[0]
+    order = jnp.argsort(jnp.where(valid, scores, _NEG))[::-1]
+    siou = iou[order][:, order]
+    svalid = valid[order]
+    over = siou > iou_thr
+
+    def body(i, suppressed):
+        keep_i = svalid[i] & ~suppressed[i]
+        return suppressed | (keep_i & over[i] & (jnp.arange(n) > i))
+
+    suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), dtype=bool))
+    keep_sorted = svalid & ~suppressed
+    return jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
+
+
+def nms_hbb(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_thr: float,
+    valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Greedy horizontal NMS on device (reference nms_wrapper.py:11-70's
+    nms() entry, fixed-shape TPU formulation). Returns keep mask."""
+    if valid is None:
+        valid = jnp.ones((boxes.shape[0],), dtype=bool)
+    return _greedy_suppress(hbb_iou_matrix(boxes, boxes), scores, iou_thr,
+                            valid)
+
+
+def _soft_suppress(
+    iou, scores, valid, method: str, sigma: float, iou_thr: float,
+    min_score: float,
+):
+    """Soft-NMS decay loop over a precomputed IoU matrix.
+
+    Reference soft_nms semantics (nms_wrapper.py:120-175 -> cpu_soft_nms):
+    iteratively take the current max-score box; decay every remaining
+    box's score — linear: s *= 1-iou (iou > thr), gaussian:
+    s *= exp(-iou^2/sigma). Returns (decayed_scores, keep) where keep =
+    selected with decayed score > min_score.
+    """
+    n = scores.shape[0]
+    use_linear = method == "linear"
+
+    def body(_, state):
+        cur, processed, kept = state
+        masked = jnp.where(processed | ~valid, _NEG, cur)
+        j = jnp.argmax(masked)
+        ok = masked[j] > min_score
+        processed = processed.at[j].set(True)
+        kept = kept.at[j].set(ok)
+        iou_j = iou[j]
+        if use_linear:
+            decay = jnp.where(iou_j > iou_thr, 1.0 - iou_j, 1.0)
+        else:
+            decay = jnp.exp(-(iou_j * iou_j) / sigma)
+        decay = jnp.where(processed, 1.0, decay)
+        cur = jnp.where(ok, cur * decay, cur)
+        return cur, processed, kept
+
+    init = (scores, jnp.zeros((n,), bool), jnp.zeros((n,), bool))
+    cur, _, kept = jax.lax.fori_loop(0, n, body, init)
+    return cur, kept
+
+
+def soft_rnms(
+    quads: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_thr: float = 0.3,
+    sigma: float = 0.5,
+    min_score: float = 1e-3,
+    method: str = "gaussian",
+    valid: jnp.ndarray | None = None,
+):
+    """Soft-NMS over rotated polygons, fully on device (the reference has
+    soft NMS only for horizontal boxes on CPU, nms_wrapper.py:120-175; this
+    extends it to the oriented path with exact polygon IoU).
+
+    Returns (decayed_scores (N,), keep (N,) bool) in the original order.
+    """
+    from .pallas_quad_iou import quad_iou_matrix_pallas
+
+    if valid is None:
+        valid = jnp.ones((quads.shape[0],), dtype=bool)
+    iou = quad_iou_matrix_pallas(quads, quads)
+    return _soft_suppress(iou, scores, valid, method, sigma, iou_thr,
+                          min_score)
+
+
+def soft_nms_hbb(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_thr: float = 0.3,
+    sigma: float = 0.5,
+    min_score: float = 1e-3,
+    method: str = "linear",
+    valid: jnp.ndarray | None = None,
+):
+    """Horizontal soft-NMS on device (reference soft_nms entry,
+    nms_wrapper.py:120-175; defaults mirror it: method='linear',
+    iou_thr=0.3, sigma=0.5, min_score=1e-3).
+
+    Returns (decayed_scores (N,), keep (N,) bool).
+    """
+    if valid is None:
+        valid = jnp.ones((boxes.shape[0],), dtype=bool)
+    iou = hbb_iou_matrix(boxes, boxes)
+    return _soft_suppress(iou, scores, valid, method, sigma, iou_thr,
+                          min_score)
+
+
 def multiclass_rnms(
     bboxes: jnp.ndarray,
     scores: jnp.ndarray,

@@ -94,3 +94,72 @@ class TestMulticlass:
         )
         assert int(np.asarray(valid).sum()) == 0
         assert np.all(np.asarray(dets) == 0)
+
+
+def ref_soft_nms(iou_mat, scores, method, iou_thr, sigma, min_score):
+    """Sequential soft-NMS re-derivation (reference cpu_soft_nms semantics,
+    nms_wrapper.py:120-175)."""
+    s = scores.astype(np.float64).copy()
+    n = len(s)
+    processed = np.zeros(n, bool)
+    keep = np.zeros(n, bool)
+    for _ in range(n):
+        cand = np.where(~processed, s, -1e9)
+        j = int(np.argmax(cand))
+        ok = cand[j] > min_score
+        processed[j] = True
+        keep[j] = ok
+        if not ok:
+            continue
+        for i in range(n):
+            if processed[i]:
+                continue
+            iou = iou_mat[j, i]
+            if method == "linear":
+                if iou > iou_thr:
+                    s[i] *= 1.0 - iou
+            else:
+                s[i] *= np.exp(-(iou * iou) / sigma)
+    return s, keep
+
+
+class TestSoftNms:
+    def test_hbb_matches_sequential(self, rng):
+        from orientedreppoints_tpu.ops.nms import hbb_iou_matrix, soft_nms_hbb
+
+        for method in ("linear", "gaussian"):
+            xy = rng.rand(40, 2) * 150
+            wh = rng.rand(40, 2) * 60 + 10
+            boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+            scores = rng.rand(40).astype(np.float32)
+            iou = np.asarray(hbb_iou_matrix(jnp.asarray(boxes),
+                                            jnp.asarray(boxes)))
+            want_s, want_k = ref_soft_nms(iou, scores, method, 0.3, 0.5, 1e-3)
+            got_s, got_k = soft_nms_hbb(
+                jnp.asarray(boxes), jnp.asarray(scores), method=method
+            )
+            np.testing.assert_array_equal(np.asarray(got_k), want_k)
+            np.testing.assert_allclose(np.asarray(got_s), want_s, rtol=1e-4)
+
+    def test_rotated_soft_nms(self, rng):
+        from orientedreppoints_tpu.devkit.polygon import poly_iou
+        from orientedreppoints_tpu.ops.nms import soft_rnms
+
+        quads = random_quads(rng, 32)
+        scores = rng.rand(32).astype(np.float32)
+        iou = np.array([[poly_iou(a, b) for b in quads] for a in quads])
+        want_s, want_k = ref_soft_nms(iou, scores, "gaussian", 0.3, 0.5, 1e-3)
+        got_s, got_k = soft_rnms(jnp.asarray(quads), jnp.asarray(scores))
+        assert (np.asarray(got_k) == want_k).mean() > 0.95  # iou fp tolerance
+        np.testing.assert_allclose(np.asarray(got_s), want_s, rtol=0.02,
+                                   atol=1e-4)
+
+    def test_hard_hbb_nms(self, rng):
+        from orientedreppoints_tpu.ops.nms import nms_hbb
+
+        boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]],
+                         np.float32)
+        scores = np.array([0.9, 0.8, 0.7], np.float32)
+        keep = np.asarray(nms_hbb(jnp.asarray(boxes), jnp.asarray(scores),
+                                  0.5))
+        np.testing.assert_array_equal(keep, [True, False, True])

@@ -1,0 +1,263 @@
+#!/usr/bin/env python
+"""Closed-loop detection-quality benchmark on synthetic DOTA scenes.
+
+Measures real mAP / mAOE numbers through the SAME workflow the reference
+uses on real DOTA (reference README "Train/Test" + DOTA_devkit flow):
+
+  render scenes -> ImgSplit tiles -> COCO-poly json -> train on TPU ->
+  inference on val tiles -> Task1 txt -> ResultMerge (cross-tile poly NMS)
+  -> scene-level Task1 eval (VOC AP over oriented polys) + mAOE.
+
+The val scenes are disjoint from training, so the number measures
+generalization, not memorization. Prints one JSON line with the results.
+
+Usage (TPU):
+  python tools/synth_benchmark.py --work_dir work_dirs/synth_dota
+Iterating (data already generated / model already trained):
+  python tools/synth_benchmark.py --skip_gen [--skip_train]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/dota/synth_r18_512.py")
+    p.add_argument("--work_dir", default="work_dirs/synth_dota")
+    p.add_argument("--train_scenes", type=int, default=40)
+    p.add_argument("--val_scenes", type=int, default=12)
+    p.add_argument("--scene_size", type=int, default=768)
+    p.add_argument("--n_objects", type=int, default=24)
+    p.add_argument("--subsize", type=int, default=512)
+    p.add_argument("--gap", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=None,
+                   help="override config total_epochs")
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--skip_gen", action="store_true")
+    p.add_argument("--skip_train", action="store_true")
+    p.add_argument("--log_interval", type=int, default=50)
+    return p.parse_args()
+
+
+def generate(args):
+    from orientedreppoints_tpu.data.synth import generate_synth_dota
+    from orientedreppoints_tpu.devkit.dota2coco import (
+        dota2coco_test, dota2coco_train,
+    )
+    from orientedreppoints_tpu.devkit.img_split import ImgSplit
+
+    wd = args.work_dir
+    print("generating scenes ...", flush=True)
+    generate_synth_dota(
+        osp.join(wd, "train_raw"), args.train_scenes, size=args.scene_size,
+        n_objects=args.n_objects, seed=args.seed, prefix="T",
+    )
+    val_names = generate_synth_dota(
+        osp.join(wd, "val_raw"), args.val_scenes, size=args.scene_size,
+        n_objects=args.n_objects, seed=args.seed + 10_000, prefix="V",
+    )
+    print("splitting ...", flush=True)
+    for src, dst in (("train_raw", "train_split"), ("val_raw", "val_split")):
+        ImgSplit(
+            osp.join(wd, src), osp.join(wd, dst), gap=args.gap,
+            subsize=args.subsize, num_process=8,
+        ).splitdata()
+    dota2coco_train(
+        osp.join(wd, "train_split"), osp.join(wd, "train_split", "train.json")
+    )
+    dota2coco_test(
+        osp.join(wd, "val_split"), osp.join(wd, "val_split", "test.json")
+    )
+    return val_names
+
+
+def train(args, cfg):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from orientedreppoints_tpu.parallel import (
+        TrainState, build_optimizer, lr_schedule, make_train_step,
+    )
+    from orientedreppoints_tpu.parallel.train import default_frozen_prefixes
+    from orientedreppoints_tpu.utils import builder, checkpoint
+
+    tpu = cfg.get("tpu", {})
+    model = builder.build_detector(cfg, tpu.get("compute_dtype", "bfloat16"))
+    loss_cfg = builder.build_loss_config(cfg)
+    dataset = builder.build_dataset(cfg.data["train"])
+    loader = builder.build_dataloader(dataset, cfg)
+    iters_per_epoch = max(len(loader), 1)
+    total_epochs = args.epochs or cfg.total_epochs
+    print(f"train: {len(dataset)} tiles, {iters_per_epoch} iters/epoch, "
+          f"{total_epochs} epochs", flush=True)
+
+    canvas = tpu.get("canvas_buckets", [(512, 512)])[-1]
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, canvas[0], canvas[1], 3), jnp.float32),
+    )
+    opt = cfg.optimizer
+    sched = lr_schedule(
+        base_lr=opt["lr"],
+        warmup_iters=cfg.lr_config["warmup_iters"],
+        warmup_ratio=cfg.lr_config["warmup_ratio"],
+        step_epochs=cfg.lr_config["step"],
+        iters_per_epoch=iters_per_epoch,
+    )
+    frozen = default_frozen_prefixes(
+        cfg.model["backbone"].get("frozen_stages", 1)
+    )
+    tx = build_optimizer(
+        variables["params"], sched,
+        optimizer=opt["type"].lower(),
+        momentum=opt.get("momentum", 0.9),
+        weight_decay=opt.get("weight_decay", 1e-4),
+        grad_clip=cfg.optimizer_config["grad_clip"]["max_norm"],
+        frozen_prefixes=frozen,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+    )
+    mesh = Mesh(np.array(jax.devices()),
+                tuple(tpu.get("mesh_axes", ("data",))))
+    step_fn = make_train_step(model, loss_cfg, mesh=mesh,
+                              dropout_rng=jax.random.key(args.seed))
+
+    it, t0 = 0, time.time()
+    for epoch in range(total_epochs):
+        for batch in loader:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, losses = step_fn(state, batch)
+            if it % args.log_interval == 0:
+                vals = {k: round(float(v), 3) for k, v in losses.items()}
+                print(f"epoch {epoch} iter {it} ({time.time()-t0:.0f}s) "
+                      f"{json.dumps(vals)}", flush=True)
+            it += 1
+            if args.max_steps and it >= args.max_steps:
+                break
+        if args.max_steps and it >= args.max_steps:
+            break
+    checkpoint.save_checkpoint(
+        osp.join(args.work_dir, "ckpts"), 1, state,
+        meta=dict(config=cfg.text, classes=list(dataset.CLASSES)),
+    )
+    print(f"training done: {it} iters in {time.time()-t0:.0f}s", flush=True)
+    return model, {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def evaluate(args, cfg, model, variables, val_names):
+    from orientedreppoints_tpu.apis import run_inference
+    from orientedreppoints_tpu.data.synth import SYNTH_CLASS_SPECS
+    from orientedreppoints_tpu.devkit.dota_utils import DOTA10_CLASSES
+    from orientedreppoints_tpu.devkit.evaluation import (
+        eval_dota_task1, eval_maoe,
+    )
+    from orientedreppoints_tpu.devkit.result_merge import (
+        merge_by_poly, write_task1_results,
+    )
+    from orientedreppoints_tpu.utils import builder
+
+    wd = args.work_dir
+    tpu = cfg.get("tpu", {})
+    canvas = tuple(tpu.get("canvas_buckets", [(512, 512)])[-1])
+    val_ds = builder.build_dataset({**cfg.data["test"], "test_mode": True})
+    print(f"inference over {len(val_ds)} val tiles ...", flush=True)
+    t0 = time.time()
+    results = run_inference(
+        model, variables, val_ds, cfg.test_cfg, canvas=canvas,
+        num_fg=len(val_ds.CLASSES),
+    )
+    print(f"inference done in {time.time()-t0:.0f}s", flush=True)
+
+    raw = osp.join(wd, "task1_raw")
+    merged = osp.join(wd, "task1_merged")
+    # num_process=1: jax is initialized in this process and os.fork() from
+    # a multithreaded parent can deadlock
+    write_task1_results(results, DOTA10_CLASSES, raw)
+    merge_by_poly(raw, merged, num_process=1)
+
+    detpath = osp.join(merged, "Task1_{:s}.txt")
+    annopath = osp.join(wd, "val_raw", "labelTxt", "{:s}.txt")
+    classnames = list(SYNTH_CLASS_SPECS)
+    mAP, aps = eval_dota_task1(
+        detpath, annopath, val_names, classnames=classnames,
+        use_07_metric=False,
+    )
+    mAOE, aoes = eval_maoe(detpath, annopath, val_names,
+                           classnames=classnames)
+    return mAP, aps, mAOE, aoes
+
+
+def main():
+    args = parse_args()
+    os.makedirs(args.work_dir, exist_ok=True)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("ORP_JAX_CACHE",
+                                     "/tmp/orp_jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from orientedreppoints_tpu.utils import Config
+
+    cfg = Config.fromfile(args.config)
+    cfg.data["train"]["ann_file"] = osp.join(
+        args.work_dir, "train_split", "train.json")
+    cfg.data["train"]["img_prefix"] = osp.join(
+        args.work_dir, "train_split", "images/")
+    for split in ("val", "test"):
+        cfg.data[split]["ann_file"] = osp.join(
+            args.work_dir, "val_split", "test.json")
+        cfg.data[split]["img_prefix"] = osp.join(
+            args.work_dir, "val_split", "images/")
+
+    if args.skip_gen:
+        val_names = sorted(
+            osp.splitext(f)[0]
+            for f in os.listdir(osp.join(args.work_dir, "val_raw", "images"))
+        )
+    else:
+        val_names = generate(args)
+
+    if args.skip_train:
+        from orientedreppoints_tpu.apis import init_detector
+
+        model, variables, _ = init_detector(
+            cfg, osp.join(args.work_dir, "ckpts"))
+    else:
+        model, variables = train(args, cfg)
+
+    mAP, aps, mAOE, aoes = evaluate(args, cfg, model, variables, val_names)
+    out = {
+        "metric": "synth_dota_mAP",
+        "mAP": round(mAP, 4),
+        "mAOE_deg": round(mAOE, 2),
+        "per_class_ap": {k: round(v, 4) for k, v in aps.items()},
+        "per_class_aoe": {k: round(v, 2) for k, v in aoes.items()},
+    }
+    print(json.dumps(out), flush=True)
+    with open(osp.join(args.work_dir, "synth_eval.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    return 0 if mAP > 0.6 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -69,7 +69,11 @@ def main():
         ],
     )
     log = logging.getLogger("train")
-    log.info("devices: %s", jax.devices())
+    # env report at train start (reference collect_env parity,
+    # mmdet/utils/collect_env.py logged from tools/train.py)
+    from orientedreppoints_tpu.utils import env_info_str
+
+    log.info("Environment info:\n%s", env_info_str())
 
     tpu = cfg.get("tpu", {})
     model = builder.build_detector(cfg, tpu.get("compute_dtype", "bfloat16"))
