@@ -27,12 +27,13 @@ from ..core import points as P
 from ..ops.nms import multiclass_rnms
 from .fpn import FPN
 from .head import OrientedRepPointsHead
+from .hrnet import HRNet
 from .resnet import ResNet
 from .swin import SwinTransformer
 
 
 class OrientedRepPointsDetector(nn.Module):
-    backbone_type: str = "resnet"  # 'resnet' | 'swin'
+    backbone_type: str = "resnet"  # 'resnet' | 'swin' | 'hrnet'
     depth: int = 50
     num_classes: int = 16
     fpn_out_channels: int = 256
@@ -57,6 +58,12 @@ class OrientedRepPointsDetector(nn.Module):
             feats = SwinTransformer(dtype=self.dtype, name="backbone",
                                     **kw)(images, deterministic)
             start, extra = 0, False
+        elif self.backbone_type == "hrnet":
+            # hrnet emits strides 4/8/16/32 like C2..C5; same FPN wiring
+            # as resnet (reference mmdet pairs HRNet with HRFPN, but plain
+            # FPN over the 4 maps keeps the oriented path uniform)
+            feats = HRNet(dtype=self.dtype, name="backbone", **kw)(images)
+            start, extra = 1, True
         else:
             raise ValueError(self.backbone_type)
         if self.fpn_start_level is not None:

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.deform_conv import dcn_base_offset, deform_conv2d
+from ..ops.deform_conv import dcn_base_offset, deform_conv2d_pyramid
 from .layers import ConvModule, conv_kernel_init
 
 
@@ -51,16 +51,48 @@ class OrientedRepPointsHead(nn.Module):
     @nn.compact
     def __call__(self, feats):
         """feats: tuple of per-level NHWC maps. Returns dict of per-level
-        lists: cls_scores, pts_init, pts_refine, base_feats."""
+        lists: cls_scores, pts_init, pts_refine, base_feats.
+
+        The towers and init-offset branch run per level (shared weights),
+        then BOTH DCNs run once over the whole pyramid via
+        deform_conv2d_pyramid — per-level gathers leave the TPU copy
+        engines underutilized (see ops/deform_conv.py measurements).
+        """
+        shared = self._build()
+        cls_feats, pts_feats, inits, dcn_offsets = [], [], [], []
+        base = jnp.asarray(dcn_base_offset(int(np.sqrt(self.num_points))),
+                           dtype=self.dtype)
+        for x in feats:
+            cls_feat = x
+            pts_feat = x
+            for conv in shared["cls_convs"]:
+                cls_feat = conv(cls_feat)
+            for conv in shared["reg_convs"]:
+                pts_feat = conv(pts_feat)
+            pts_out_init = shared["pts_init_out"](
+                nn.relu(shared["pts_init_conv"](pts_feat)))
+            grad_mul = (1 - self.gradient_mul) * jax.lax.stop_gradient(
+                pts_out_init) + self.gradient_mul * pts_out_init
+            cls_feats.append(cls_feat)
+            pts_feats.append(pts_feat)
+            inits.append(pts_out_init)
+            dcn_offsets.append(grad_mul - base.astype(grad_mul.dtype))
+
+        cls_dcns = deform_conv2d_pyramid(
+            cls_feats, dcn_offsets, shared["cls_dcn_weight"])
+        refine_dcns = deform_conv2d_pyramid(
+            pts_feats, dcn_offsets, shared["refine_dcn_weight"])
+
         outs = {"cls_scores": [], "pts_init": [], "pts_refine": [],
                 "base_feats": []}
-        # shared (across levels) conv stacks, like the reference head
-        shared = self._build()
-        for x in feats:
-            cls_out, init_out, refine_out = self._forward_single(x, shared)
+        for x, init_out, cls_dcn, refine_dcn in zip(
+                feats, inits, cls_dcns, refine_dcns):
+            cls_out = shared["cls_out"](nn.relu(cls_dcn))
+            pts_out_refine = shared["pts_refine_out"](nn.relu(refine_dcn))
+            pts_out_refine = pts_out_refine + jax.lax.stop_gradient(init_out)
             outs["cls_scores"].append(cls_out)
             outs["pts_init"].append(init_out)
-            outs["pts_refine"].append(refine_out)
+            outs["pts_refine"].append(pts_out_refine)
             outs["base_feats"].append(x)
         return outs
 
@@ -100,27 +132,3 @@ class OrientedRepPointsHead(nn.Module):
             name="pts_refine_out")
         return mods
 
-    def _forward_single(self, x, m):
-        cls_feat = x
-        pts_feat = x
-        for conv in m["cls_convs"]:
-            cls_feat = conv(cls_feat)
-        for conv in m["reg_convs"]:
-            pts_feat = conv(pts_feat)
-
-        pts_out_init = m["pts_init_out"](
-            nn.relu(m["pts_init_conv"](pts_feat)))  # (B,H,W,2*pts), (dy,dx)
-
-        grad_mul = (1 - self.gradient_mul) * jax.lax.stop_gradient(
-            pts_out_init) + self.gradient_mul * pts_out_init
-        base = jnp.asarray(dcn_base_offset(int(np.sqrt(self.num_points))),
-                           dtype=grad_mul.dtype)
-        dcn_offset = grad_mul - base
-
-        cls_dcn = deform_conv2d(cls_feat, dcn_offset, m["cls_dcn_weight"])
-        cls_out = m["cls_out"](nn.relu(cls_dcn))
-
-        refine_dcn = deform_conv2d(pts_feat, dcn_offset, m["refine_dcn_weight"])
-        pts_out_refine = m["pts_refine_out"](nn.relu(refine_dcn))
-        pts_out_refine = pts_out_refine + jax.lax.stop_gradient(pts_out_init)
-        return cls_out, pts_out_init, pts_out_refine

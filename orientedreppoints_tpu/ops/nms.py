@@ -17,14 +17,68 @@ can live inside jit with static shapes.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
 from .geometry import quad_iou_matrix
 
 _NEG = -1e9
+_SCAN_BLK = 128
+
+
+def greedy_scan_sorted(over: jnp.ndarray, valid: jnp.ndarray,
+                       blk: int = _SCAN_BLK) -> jnp.ndarray:
+    """Greedy NMS suppression scan over score-sorted rows, blocked.
+
+    over: (N, N) or (B, N, N) bool — over[i, j] means row i suppresses
+      row j; only entries with j > i are read.
+    valid: (N,) or (B, N) bool.
+    Returns keep — same shape as valid, in the sorted order.
+
+    The naive formulation is a fori_loop of N dependent steps, each a
+    dynamic-slice + tiny vector op — ~N kernel dispatches dominate
+    (measured ~20 ms at N=4096 on v5e).  Here the scan runs in blocks of
+    `blk` rows: each outer step slices the block's rows once and unrolls
+    `blk` statically-indexed steps that XLA fuses into a handful of
+    kernels, cutting dispatches ~blk-fold with bit-identical results
+    (within-block suppression is tracked in a local vector before being
+    merged into the global one).
+    """
+    squeeze = over.ndim == 2
+    if squeeze:
+        over = over[None]
+        valid = valid[None]
+    b, n, _ = over.shape
+    npad = (-n) % blk
+    if npad:
+        over = jnp.pad(over, ((0, 0), (0, npad), (0, npad)))
+        valid = jnp.pad(valid, ((0, 0), (0, npad)))
+    np_ = n + npad
+    col = jnp.arange(np_)
+    blk_col = jnp.arange(blk)
+
+    def outer(bi, suppressed):
+        base = bi * blk
+        vblk = jax.lax.dynamic_slice_in_dim(valid, base, blk, axis=1)
+        rows = jax.lax.dynamic_slice_in_dim(over, base, blk, axis=1)
+        diag = jax.lax.dynamic_slice_in_dim(rows, base, blk, axis=2)
+        sup_blk = jax.lax.dynamic_slice_in_dim(suppressed, base, blk, axis=1)
+        rel = (col - base)[None, :]  # (1, Np)
+        acc = jnp.zeros_like(suppressed)
+        for r in range(blk):
+            keep_i = vblk[:, r] & ~sup_blk[:, r]  # (B,)
+            acc = acc | (keep_i[:, None] & rows[:, r] & (rel > r))
+            sup_blk = sup_blk | (
+                keep_i[:, None] & diag[:, r] & (blk_col > r)[None, :]
+            )
+        return suppressed | acc
+
+    suppressed = jax.lax.fori_loop(
+        0, np_ // blk, outer, jnp.zeros((b, np_), dtype=bool)
+    )
+    keep = valid & ~suppressed
+    keep = keep[:, :n]
+    return keep[0] if squeeze else keep
 
 
 def rotated_nms_mask(
@@ -52,17 +106,14 @@ def rotated_nms_mask(
     order = jnp.argsort(jnp.where(valid, scores, _NEG))[::-1]
     squads = quads[order]
     svalid = valid[order]
-    iou = quad_iou_matrix_pallas(squads, squads)  # fused Pallas tile kernel
-    over = iou > iou_thr
-
-    def body(i, state):
-        suppressed = state
-        keep_i = svalid[i] & ~suppressed[i]
-        new_sup = suppressed | (keep_i & over[i] & (jnp.arange(n) > i))
-        return new_sup
-
-    suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), dtype=bool))
-    keep_sorted = svalid & ~suppressed
+    # fused Pallas tile kernel; upper_tri skips below-diagonal tiles (the
+    # blocked scan only reads col > row) and num_valid skips tiles beyond
+    # the score-sorted valid prefix
+    iou = quad_iou_matrix_pallas(
+        squads, squads, upper_tri=True,
+        num_valid=jnp.sum(svalid.astype(jnp.int32)),
+    )
+    keep_sorted = greedy_scan_sorted(iou > iou_thr, svalid)
     keep = jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
     return keep
 
@@ -88,14 +139,7 @@ def _greedy_suppress(iou, scores, iou_thr, valid):
     order = jnp.argsort(jnp.where(valid, scores, _NEG))[::-1]
     siou = iou[order][:, order]
     svalid = valid[order]
-    over = siou > iou_thr
-
-    def body(i, suppressed):
-        keep_i = svalid[i] & ~suppressed[i]
-        return suppressed | (keep_i & over[i] & (jnp.arange(n) > i))
-
-    suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), dtype=bool))
-    keep_sorted = svalid & ~suppressed
+    keep_sorted = greedy_scan_sorted(siou > iou_thr, svalid)
     return jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
 
 
@@ -315,19 +359,15 @@ def multiclass_rnms_batch(
     offsets = top_labels.astype(top_boxes.dtype)[..., None] * (max_coord + 1.0)
     boxes_for_nms = top_boxes + offsets
 
-    # rows already score-sorted by top_k; batched pairwise IoU
-    iou = quad_iou_matrix_batch_pallas(boxes_for_nms, boxes_for_nms)
-    over = iou > iou_thr  # (B, cap, cap)
-
-    def body(i, suppressed):
-        keep_i = top_valid[:, i] & ~suppressed[:, i]  # (B,)
-        row = over[:, i, :] & (jnp.arange(cap) > i)[None, :]
-        return suppressed | (keep_i[:, None] & row)
-
-    suppressed = jax.lax.fori_loop(
-        0, cap, body, jnp.zeros((b, cap), dtype=bool)
+    # rows already score-sorted by top_k; batched pairwise IoU with
+    # below-diagonal tiles skipped (the blocked scan only reads col > row)
+    # and per-image valid-prefix tile skipping (top_valid is a prefix of
+    # the score-sorted rows)
+    iou = quad_iou_matrix_batch_pallas(
+        boxes_for_nms, boxes_for_nms, upper_tri=True,
+        num_valid=jnp.sum(top_valid.astype(jnp.int32), axis=1),
     )
-    keep = top_valid & ~suppressed
+    keep = greedy_scan_sorted(iou > iou_thr, top_valid)
 
     k_out = min(max_per_img, cap)
     out_scores, out_rank = jax.lax.top_k(

@@ -154,6 +154,54 @@ def _quad_kernel(a_ref, b_ref, out_ref):
     out_ref[:, :] = _quad_tile(a_ref[:, :], b_ref[:, :])
 
 
+def _make_quad_kernel_tri(row_dim: int, col_dim: int,
+                          batch_dim: int | None = None):
+    """Upper-triangle kernel variant for greedy NMS, with a valid-prefix
+    skip.
+
+    Tiles are written as zeros (no clipping done) when either
+      * every column index is <= every row index — the suppression scan
+        only reads entries with col > row; at (8, 128) tiles this alone
+        skips ~48% of a square matrix — or
+      * the tile lies beyond the valid-candidate prefix (rows are score-
+        sorted, so candidates above the score threshold form a prefix of
+        length nvalid): rows >= nvalid never suppress and columns >=
+        nvalid never matter.  This mirrors the reference CUDA/host NMS,
+        which only ever processes thresholded boxes
+        (mmdet/ops/nms/src/rnms_kernel.cu operates on the filtered set) —
+        on TPU the shapes stay static and the skip is a cheap tile
+        predicate.
+
+    The kernel takes a scalar-prefetch ref with per-image valid counts
+    (shape (B,) — index with the batch grid dim, or (1,) when
+    batch_dim=None).  row_dim/col_dim: grid dims carrying row/col tile
+    ids."""
+
+    def kernel(nv_ref, a_ref, b_ref, out_ref):
+        i = pl.program_id(row_dim)
+        j = pl.program_id(col_dim)
+        nv = nv_ref[0 if batch_dim is None else pl.program_id(batch_dim)]
+        needed = (
+            (j * TN + (TN - 1) > i * TM)  # max col in tile > min row
+            & (i * TM < nv)
+            & (j * TN < nv)
+        )
+
+        @pl.when(needed)
+        def _():
+            rows = i * TM + jax.lax.broadcasted_iota(jnp.int32, (TM, TN), 0)
+            cols = j * TN + jax.lax.broadcasted_iota(jnp.int32, (TM, TN), 1)
+            tile = _quad_tile(a_ref[:, :], b_ref[:, :])
+            live = (cols > rows) & (rows < nv) & (cols < nv)
+            out_ref[:, :] = jnp.where(live, tile, 0.0)
+
+        @pl.when(jnp.logical_not(needed))
+        def _():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    return kernel
+
+
 
 
 def _hull_kernel(h_ref, c_ref, b_ref, out_ref):
@@ -195,18 +243,59 @@ def _use_xla_fallback() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=())
-def quad_iou_matrix_pallas(quads_a: jnp.ndarray, quads_b: jnp.ndarray):
-    """(N, 8) x (M, 8) -> (N, M) exact convex-quad IoU (f32)."""
+@functools.partial(jax.jit, static_argnames=("upper_tri",))
+def quad_iou_matrix_pallas(
+    quads_a: jnp.ndarray,
+    quads_b: jnp.ndarray,
+    upper_tri: bool = False,
+    num_valid: jnp.ndarray | None = None,
+):
+    """(N, 8) x (M, 8) -> (N, M) exact convex-quad IoU (f32).
+
+    upper_tri=True computes only entries with col > row (rest are 0) —
+    sufficient for the greedy NMS scan over score-sorted rows and ~2x
+    cheaper on square matrices.  num_valid (traced scalar, only with
+    upper_tri) additionally zero-skips all tiles at or beyond the
+    valid-candidate prefix.
+    """
+    n, m = quads_a.shape[0], quads_b.shape[0]
+    if num_valid is None:
+        num_valid = jnp.int32(n)
     if _use_xla_fallback():
         from .geometry import quad_iou_matrix
 
-        return quad_iou_matrix(quads_a, quads_b)
-    n, m = quads_a.shape[0], quads_b.shape[0]
+        iou = quad_iou_matrix(quads_a, quads_b)
+        if upper_tri:
+            rows = jnp.arange(n)[:, None]
+            cols = jnp.arange(m)[None, :]
+            iou = iou * ((cols > rows) & (rows < num_valid)
+                         & (cols < num_valid))
+        return iou
     a = _pad_to(quads_a.astype(jnp.float32), TM, 0)
     b = _pad_to(quads_b.astype(jnp.float32), TN, 0)
     bt = b.T  # (8, Mp)
     np_, mp = a.shape[0], bt.shape[1]
+    if upper_tri:
+        # index maps receive the scalar-prefetch ref as a trailing arg
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(np_ // TM, mp // TN),
+            in_specs=[
+                pl.BlockSpec((TM, 8), lambda i, j, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, TN), lambda i, j, *_: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TM, TN), lambda i, j, *_: (i, j),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            _make_quad_kernel_tri(0, 1),
+            out_shape=jax.ShapeDtypeStruct((np_, mp), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=_interpret(),
+        )(jnp.reshape(num_valid, (1,)).astype(jnp.int32), a, bt)
+        return out[:n, :m]
     out = pl.pallas_call(
         _quad_kernel,
         out_shape=jax.ShapeDtypeStruct((np_, mp), jnp.float32),
@@ -224,18 +313,32 @@ def quad_iou_matrix_pallas(quads_a: jnp.ndarray, quads_b: jnp.ndarray):
     return out[:n, :m]
 
 
-def quad_iou_matrix_batch_pallas(quads_a: jnp.ndarray, quads_b: jnp.ndarray):
+def quad_iou_matrix_batch_pallas(
+    quads_a: jnp.ndarray,
+    quads_b: jnp.ndarray,
+    upper_tri: bool = False,
+    num_valid: jnp.ndarray | None = None,
+):
     """Batched pairwise IoU: (B, N, 8) x (B, M, 8) -> (B, N, M).
 
     One kernel launch for the whole batch (used by the batched rotated NMS
-    so per-image matrices don't serialize).
+    so per-image matrices don't serialize).  upper_tri / num_valid
+    ((B,) per-image valid-prefix lengths): see quad_iou_matrix_pallas.
     """
+    b, n, _ = quads_a.shape
+    m = quads_b.shape[1]
+    if num_valid is None:
+        num_valid = jnp.full((b,), n, jnp.int32)
     if _use_xla_fallback():
         from .geometry import quad_iou_matrix
 
-        return jax.vmap(quad_iou_matrix)(quads_a, quads_b)
-    b, n, _ = quads_a.shape
-    m = quads_b.shape[1]
+        iou = jax.vmap(quad_iou_matrix)(quads_a, quads_b)
+        if upper_tri:
+            rows = jnp.arange(n)[None, :, None]
+            cols = jnp.arange(m)[None, None, :]
+            nv = num_valid[:, None, None]
+            iou = iou * ((cols > rows) & (rows < nv) & (cols < nv))
+        return iou
     a = _pad_to(quads_a.astype(jnp.float32), TM, 1).reshape(-1, 8)  # (B*Np, 8)
     bb = _pad_to(quads_b.astype(jnp.float32), TN, 1)
     bt = bb.transpose(0, 2, 1).reshape(-1, bb.shape[1])  # (B*8, Mp)
@@ -243,26 +346,43 @@ def quad_iou_matrix_batch_pallas(quads_a: jnp.ndarray, quads_b: jnp.ndarray):
     mp = bt.shape[1]
     # fold the batch into the row dimension so every block stays 2D and
     # lane-aligned (a leading singleton block dim defeats (8,128) tiling)
-    out = pl.pallas_call(
-        _quad_kernel,
-        out_shape=jax.ShapeDtypeStruct((b * np_, mp), jnp.float32),
-        grid=(b, np_ // TM, mp // TN),
-        in_specs=[
-            pl.BlockSpec(
-                (TM, 8),
-                lambda bi, i, j, _n=np_ // TM: (bi * _n + i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((8, TN), lambda bi, i, j: (bi, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (TM, TN),
-            lambda bi, i, j, _n=np_ // TM: (bi * _n + i, j),
+    # *_: tolerate the scalar-prefetch ref appended to index-map args
+    in_specs = [
+        pl.BlockSpec(
+            (TM, 8),
+            lambda bi, i, j, *_, _n=np_ // TM: (bi * _n + i, 0),
             memory_space=pltpu.VMEM,
         ),
-        interpret=_interpret(),
-    )(a, bt)
+        pl.BlockSpec((8, TN), lambda bi, i, j, *_: (bi, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = pl.BlockSpec(
+        (TM, TN),
+        lambda bi, i, j, *_, _n=np_ // TM: (bi * _n + i, j),
+        memory_space=pltpu.VMEM,
+    )
+    if upper_tri:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, np_ // TM, mp // TN),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        )
+        out = pl.pallas_call(
+            _make_quad_kernel_tri(1, 2, batch_dim=0),
+            out_shape=jax.ShapeDtypeStruct((b * np_, mp), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=_interpret(),
+        )(num_valid.astype(jnp.int32), a, bt)
+    else:
+        out = pl.pallas_call(
+            _quad_kernel,
+            out_shape=jax.ShapeDtypeStruct((b * np_, mp), jnp.float32),
+            grid=(b, np_ // TM, mp // TN),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            interpret=_interpret(),
+        )(a, bt)
     return out.reshape(b, np_, mp)[:, :n, :m]
 
 

@@ -15,7 +15,8 @@ from ..data.pipelines import build_pipeline
 from ..models import OrientedRepPointsDetector
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
-_BACKBONES = {"ResNet": "resnet", "SwinTransformer": "swin"}
+_BACKBONES = {"ResNet": "resnet", "ResNeXt": "resnet",
+              "SwinTransformer": "swin", "HRNet": "hrnet"}
 _DATASETS = {"DotaDataset": DotaDataset, "HrscDataset": HrscDataset}
 
 
@@ -36,6 +37,8 @@ def build_detector(cfg, compute_dtype: str = "bfloat16"):
             k: v for k, v in bb.items()
             if k in ("groups", "base_width", "out_indices")
         }
+    if bb_type == "hrnet":
+        kwargs = {k: v for k, v in bb.items() if k in ("extra",)}
     head = m["bbox_head"]
     head_kwargs = {
         k: head[k]

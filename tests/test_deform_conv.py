@@ -77,6 +77,36 @@ def test_zero_offsets_is_plain_conv(rng):
     np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
 
 
+def test_fused_gather_matches_4take_at_borders(rng):
+    """The fused single-take gather must agree with the 4-take formulation
+    everywhere, including every boundary case: corners straddling each
+    edge (y0 or x0 == -1), patches fully outside, and huge coords."""
+    from orientedreppoints_tpu.ops.deform_conv import (
+        _bilinear_gather_fused, _bilinear_gather_4take,
+    )
+
+    b, h, w, c = 2, 5, 6, 3
+    feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    # dense grid of positions covering [-2.5, h/w + 2.5] plus exact
+    # integer boundary values (floor lands on -1, 0, h-1, h)
+    ys = np.concatenate([
+        np.linspace(-2.5, h + 2.5, 23),
+        np.array([-1.0, -0.5, 0.0, h - 1.0, h - 0.5, float(h)]),
+        np.array([-1e6, 1e6]),
+    ])
+    xs = np.concatenate([
+        np.linspace(-2.5, w + 2.5, 23),
+        np.array([-1.0, -0.5, 0.0, w - 1.0, w - 0.5, float(w)]),
+        np.array([-1e6, 1e6]),
+    ])
+    py, px = np.meshgrid(ys, xs, indexing="ij")
+    py = jnp.asarray(np.tile(py.reshape(1, -1), (b, 1)).astype(np.float32))
+    px = jnp.asarray(np.tile(px.reshape(1, -1), (b, 1)).astype(np.float32))
+    got = np.asarray(_bilinear_gather_fused(feat, py, px))
+    expect = np.asarray(_bilinear_gather_4take(feat, py, px))
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+
+
 def test_base_offset_layout():
     base = dcn_base_offset(3).reshape(9, 2)
     # k row-major over (ky, kx): y slow, x fast
@@ -84,3 +114,23 @@ def test_base_offset_layout():
     assert base[1].tolist() == [-1, 0]
     assert base[3].tolist() == [0, -1]
     assert base[8].tolist() == [1, 1]
+
+
+def test_pyramid_matches_per_level(rng):
+    """deform_conv2d_pyramid == per-level deform_conv2d on a 3-level
+    pyramid (same math, fused gather table)."""
+    from orientedreppoints_tpu.ops.deform_conv import deform_conv2d_pyramid
+
+    b, cin, cout = 2, 4, 3
+    shapes = [(8, 9), (4, 5), (2, 3)]
+    feats = [jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
+             for h, w in shapes]
+    offs = [jnp.asarray((rng.randn(b, h, w, 18) * 2).astype(np.float32))
+            for h, w in shapes]
+    weight = jnp.asarray(rng.randn(9, cin, cout).astype(np.float32) * 0.2)
+    got = deform_conv2d_pyramid(feats, offs, weight)
+    for lvl, (f, o) in enumerate(zip(feats, offs)):
+        expect = deform_conv2d(f, o, weight)
+        np.testing.assert_allclose(
+            np.asarray(got[lvl]), np.asarray(expect), rtol=1e-4, atol=1e-4,
+            err_msg=f"level {lvl}")

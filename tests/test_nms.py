@@ -163,3 +163,40 @@ class TestSoftNms:
         keep = np.asarray(nms_hbb(jnp.asarray(boxes), jnp.asarray(scores),
                                   0.5))
         np.testing.assert_array_equal(keep, [True, False, True])
+
+
+class TestBlockedScan:
+    """greedy_scan_sorted (blocked/unrolled) vs the naive sequential scan
+    on random suppression matrices, across block-boundary sizes."""
+
+    @staticmethod
+    def _naive(over, valid):
+        n = valid.shape[0]
+        suppressed = np.zeros(n, bool)
+        for i in range(n):
+            if valid[i] and not suppressed[i]:
+                suppressed[i + 1:] |= over[i, i + 1:]
+        return valid & ~suppressed
+
+    def test_matches_naive(self, rng):
+        from orientedreppoints_tpu.ops.nms import greedy_scan_sorted
+
+        for n in (1, 5, 127, 128, 129, 300):
+            over = rng.rand(n, n) < 0.15
+            valid = rng.rand(n) < 0.9
+            got = np.asarray(greedy_scan_sorted(
+                jnp.asarray(over), jnp.asarray(valid)))
+            expect = self._naive(over, valid)
+            np.testing.assert_array_equal(got, expect, err_msg=f"n={n}")
+
+    def test_batched_matches_naive(self, rng):
+        from orientedreppoints_tpu.ops.nms import greedy_scan_sorted
+
+        b, n = 3, 200
+        over = rng.rand(b, n, n) < 0.2
+        valid = rng.rand(b, n) < 0.9
+        got = np.asarray(greedy_scan_sorted(
+            jnp.asarray(over), jnp.asarray(valid)))
+        for bi in range(b):
+            np.testing.assert_array_equal(
+                got[bi], self._naive(over[bi], valid[bi]), err_msg=f"b={bi}")

@@ -97,3 +97,65 @@ class TestMinAreaRectKernel:
 
         rect = np.asarray(min_area_rect_pallas(jnp.ones((5, 18)) * 3.0))
         assert np.allclose(rect, 3.0)
+
+
+class TestUpperTriKernel:
+    def test_upper_tri_matches_full(self, rng):
+        """upper_tri=True: strict upper triangle equals the full kernel,
+        everything else is exactly zero (single + batched, across the
+        8x128 tile boundary)."""
+        from orientedreppoints_tpu.ops.pallas_quad_iou import (
+            quad_iou_matrix_pallas, quad_iou_matrix_batch_pallas,
+        )
+
+        n = 140  # spans both grid dims: 18 row tiles x 2 col tiles
+        a = random_quads(rng, n, scale=30.0)
+        full = np.asarray(
+            quad_iou_matrix_pallas(jnp.asarray(a), jnp.asarray(a)))
+        tri = np.asarray(quad_iou_matrix_pallas(
+            jnp.asarray(a), jnp.asarray(a), upper_tri=True))
+        upper = np.triu(np.ones((n, n), bool), k=1)
+        np.testing.assert_allclose(tri[upper], full[upper], atol=1e-6)
+        assert (tri[~upper] == 0).all()
+
+        ab = np.stack([a, random_quads(rng, n, scale=30.0)])
+        full_b = np.asarray(quad_iou_matrix_batch_pallas(
+            jnp.asarray(ab), jnp.asarray(ab)))
+        tri_b = np.asarray(quad_iou_matrix_batch_pallas(
+            jnp.asarray(ab), jnp.asarray(ab), upper_tri=True))
+        for bi in range(2):
+            np.testing.assert_allclose(
+                tri_b[bi][upper], full_b[bi][upper], atol=1e-6)
+            assert (tri_b[bi][~upper] == 0).all()
+
+    def test_valid_prefix_skip(self, rng):
+        """num_valid zeroes everything at/beyond the prefix and keeps the
+        in-prefix upper triangle exact."""
+        from orientedreppoints_tpu.ops.pallas_quad_iou import (
+            quad_iou_matrix_pallas, quad_iou_matrix_batch_pallas,
+        )
+
+        n, nv = 40, 17
+        a = random_quads(rng, n, scale=25.0)
+        full = np.asarray(
+            quad_iou_matrix_pallas(jnp.asarray(a), jnp.asarray(a)))
+        tri = np.asarray(quad_iou_matrix_pallas(
+            jnp.asarray(a), jnp.asarray(a), upper_tri=True,
+            num_valid=jnp.int32(nv)))
+        rows = np.arange(n)[:, None]
+        cols = np.arange(n)[None, :]
+        live = (cols > rows) & (rows < nv) & (cols < nv)
+        np.testing.assert_allclose(tri[live], full[live], atol=1e-6)
+        assert (tri[~live] == 0).all()
+
+        ab = np.stack([a, random_quads(rng, n, scale=25.0)])
+        nvb = jnp.asarray([17, 3], jnp.int32)
+        tri_b = np.asarray(quad_iou_matrix_batch_pallas(
+            jnp.asarray(ab), jnp.asarray(ab), upper_tri=True, num_valid=nvb))
+        full_b = np.asarray(quad_iou_matrix_batch_pallas(
+            jnp.asarray(ab), jnp.asarray(ab)))
+        for bi, v in enumerate([17, 3]):
+            live = (cols > rows) & (rows < v) & (cols < v)
+            np.testing.assert_allclose(
+                tri_b[bi][live], full_b[bi][live], atol=1e-6)
+            assert (tri_b[bi][~live] == 0).all()
