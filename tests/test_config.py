@@ -12,6 +12,7 @@ CONFIGS = [
     "configs/dota/orientedreppoints_r50_demo.py",
     "configs/dota/orientedreppoints_r101_demo.py",
     "configs/dota/orientedreppoints_swin_tiny_demo.py",
+    "configs/dota/orientedreppoints_hrnet_w32_demo.py",
 ]
 
 

@@ -1,0 +1,114 @@
+"""Multi-host wiring smoke test: the ORP_COORDINATOR_ADDRESS /
+ORP_NUM_PROCESSES / ORP_PROCESS_ID contract used by tools/dist_train.sh ->
+tools/train.py (jax.distributed.initialize) actually brings up a
+coordinator and serves collectives.
+
+Runs in a subprocess: jax.distributed.initialize is process-global and
+must not leak into the test runner's JAX runtime.
+"""
+
+import subprocess
+import sys
+
+_CHILD = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+# same call path as tools/train.py:54-59 driven by dist_train.sh env
+jax.distributed.initialize(
+    coordinator_address=os.environ["ORP_COORDINATOR_ADDRESS"],
+    num_processes=int(os.environ["ORP_NUM_PROCESSES"]),
+    process_id=int(os.environ["ORP_PROCESS_ID"]),
+)
+assert jax.process_count() == 1
+assert jax.process_index() == 0
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+mesh = Mesh(np.array(jax.devices()), ("data",))
+f = jax.jit(shard_map(
+    lambda x: jax.lax.psum(x, "data"),
+    mesh=mesh, in_specs=P("data"), out_specs=P(),
+))
+out = f(jnp.arange(4, dtype=jnp.float32))
+assert float(out[0]) == 6.0, out
+print("DIST_OK", jax.process_count())
+"""
+
+
+_CHILD2 = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=os.environ["ORP_COORDINATOR_ADDRESS"],
+    num_processes=int(os.environ["ORP_NUM_PROCESSES"]),
+    process_id=int(os.environ["ORP_PROCESS_ID"]),
+)
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+from jax.experimental.shard_map import shard_map
+
+assert jax.process_count() == 2
+assert len(jax.devices()) == 8   # global devices across both processes
+mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+f = jax.jit(shard_map(lambda x: jax.lax.psum(x, "data"),
+                      mesh=mesh, in_specs=P("data"), out_specs=P()))
+x = jax.make_array_from_callback(
+    (8,), NamedSharding(mesh, P("data")),
+    lambda idx: np.arange(8, dtype=np.float32)[idx])
+out = f(x)
+val = float(np.asarray(out.addressable_data(0))[0])
+assert val == 28.0, val
+print("DIST2_OK", jax.process_index())
+"""
+
+
+def test_two_process_pod_psum():
+    """Two host processes x 4 virtual devices join one coordinator (the
+    dist_train.sh multi-host contract) and a cross-process psum over the
+    8-device global mesh returns the right value on both."""
+    procs = []
+    for pid in (0, 1):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _CHILD2],
+            env={
+                "PATH": "/usr/bin:/bin",
+                "HOME": "/root",
+                "ORP_COORDINATOR_ADDRESS": "localhost:29533",
+                "ORP_NUM_PROCESSES": "2",
+                "ORP_PROCESS_ID": str(pid),
+            },
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    for p in procs:
+        out, err = p.communicate(timeout=280)
+        assert p.returncode == 0, err[-2000:]
+        assert "DIST2_OK" in out
+
+
+def test_single_process_coordinator_init():
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD],
+        env={
+            "PATH": "/usr/bin:/bin",
+            "HOME": "/root",
+            "ORP_COORDINATOR_ADDRESS": "localhost:29511",
+            "ORP_NUM_PROCESSES": "1",
+            "ORP_PROCESS_ID": "0",
+        },
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "DIST_OK 1" in proc.stdout
