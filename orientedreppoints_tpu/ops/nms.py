@@ -27,12 +27,17 @@ _SCAN_BLK = 128
 
 
 def greedy_scan_sorted(over: jnp.ndarray, valid: jnp.ndarray,
-                       blk: int = _SCAN_BLK) -> jnp.ndarray:
+                       blk: int = _SCAN_BLK,
+                       num_valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Greedy NMS suppression scan over score-sorted rows, blocked.
 
     over: (N, N) or (B, N, N) bool — over[i, j] means row i suppresses
       row j; only entries with j > i are read.
     valid: (N,) or (B, N) bool.
+    num_valid: optional per-image valid-prefix lengths ((B,) or scalar);
+      rows are score-sorted so valid rows form a prefix — the outer loop
+      then runs ceil(max(num_valid)/blk) iterations instead of N/blk
+      (dynamic fori_loop bound), making sparse scenes nearly free.
     Returns keep — same shape as valid, in the sorted order.
 
     The naive formulation is a fori_loop of N dependent steps, each a
@@ -73,12 +78,58 @@ def greedy_scan_sorted(over: jnp.ndarray, valid: jnp.ndarray,
             )
         return suppressed | acc
 
+    n_blocks = np_ // blk
+    if num_valid is not None:
+        # rows beyond the valid prefix never suppress anything (keep_i
+        # requires valid), so stopping at the last valid block is exact
+        nv_max = jnp.max(jnp.asarray(num_valid))
+        n_blocks = jnp.minimum((nv_max + blk - 1) // blk, n_blocks)
     suppressed = jax.lax.fori_loop(
-        0, np_ // blk, outer, jnp.zeros((b, np_), dtype=bool)
+        0, n_blocks, outer, jnp.zeros((b, np_), dtype=bool)
     )
     keep = valid & ~suppressed
     keep = keep[:, :n]
     return keep[0] if squeeze else keep
+
+
+def compact_keep_sorted(keep: jnp.ndarray, scores: jnp.ndarray, k_out: int):
+    """Select the first k_out kept rows of a score-DESCENDING candidate
+    list without a top_k.
+
+    XLA's top_k at k≈2000 lowers to a full variadic sort whose bitonic
+    passes are dispatch-bound (~4 ms at (4, 4096) on v5e) — but the NMS
+    candidates are already score-sorted, so the kept subset in row order
+    IS the top-k: a cumsum + vectorized binary search (searchsorted) finds
+    the j-th kept row in ~log2(N) tiny gathers instead.
+
+    keep/scores: (B, N).  Returns (out_scores, out_rank, det_valid), each
+    (B, k_out); out_scores is 0 where invalid.
+    """
+    b, n = keep.shape
+    # prefix sum by log-doubling shifts: jnp.cumsum lowers to reduce-window
+    # and alone cost ~3.5 ms at (4, 4096) on v5e
+    kcum = keep.astype(jnp.int32)
+    shift = 1
+    while shift < n:
+        kcum = kcum + jnp.pad(kcum[:, :-shift], ((0, 0), (shift, 0)))
+        shift *= 2
+    total = kcum[:, -1]
+    targets = jnp.arange(1, k_out + 1, dtype=jnp.int32)
+    # smallest i with kcum[i] == j+1  ==  #{i : kcum[i] < j+1}; the brute
+    # count fuses into one compare+reduce pass over the minor axis
+    # (vmapped searchsorted dispatches a gather per binary-search step and
+    # measured slower than the top_k it replaces; reducing the minor axis
+    # is ~2x faster than the middle axis)
+    out_rank = jnp.sum(
+        (kcum[:, None, :] < targets[None, :, None]).astype(jnp.int32),
+        axis=2,
+    )
+    det_valid = targets[None, :] <= total[:, None]
+    out_rank = jnp.minimum(out_rank, n - 1)
+    out_scores = jnp.where(
+        det_valid, jnp.take_along_axis(scores, out_rank, axis=1), 0.0
+    )
+    return out_scores, out_rank, det_valid
 
 
 def rotated_nms_mask(
@@ -98,7 +149,7 @@ def rotated_nms_mask(
     Returns:
       keep: (N,) bool mask in the ORIGINAL order.
     """
-    from .pallas_quad_iou import quad_iou_matrix_pallas
+    from .pallas_quad_iou import quad_over_matrix_pallas
 
     n = quads.shape[0]
     if valid is None:
@@ -106,14 +157,13 @@ def rotated_nms_mask(
     order = jnp.argsort(jnp.where(valid, scores, _NEG))[::-1]
     squads = quads[order]
     svalid = valid[order]
-    # fused Pallas tile kernel; upper_tri skips below-diagonal tiles (the
-    # blocked scan only reads col > row) and num_valid skips tiles beyond
-    # the score-sorted valid prefix
-    iou = quad_iou_matrix_pallas(
-        squads, squads, upper_tri=True,
-        num_valid=jnp.sum(svalid.astype(jnp.int32)),
-    )
-    keep_sorted = greedy_scan_sorted(iou > iou_thr, svalid)
+    # fused Pallas over-mask kernel: computes int8 (IoU > thr) directly,
+    # upper-triangle tiles only (the blocked scan reads col > row), tiles
+    # beyond the score-sorted valid prefix skipped; the scan's trip count
+    # is likewise bounded by the candidate count
+    nv = jnp.sum(svalid.astype(jnp.int32))
+    over = quad_over_matrix_pallas(squads, float(iou_thr), num_valid=nv)
+    keep_sorted = greedy_scan_sorted(over, svalid, num_valid=nv)
     keep = jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
     return keep
 
@@ -290,12 +340,21 @@ def multiclass_rnms(
     offsets = top_labels.astype(top_boxes.dtype) * (max_coord + 1.0)
     boxes_for_nms = top_boxes + offsets[:, None]
 
-    keep = rotated_nms_mask(boxes_for_nms, top_scores, iou_thr, top_valid)
+    # rows from top_k are already score-sorted: run the over-mask kernel +
+    # scan directly (no re-sort), then compact kept rows without a top_k
+    from .pallas_quad_iou import quad_over_matrix_pallas
 
-    out_scores, out_rank = jax.lax.top_k(
-        jnp.where(keep, top_scores, _NEG), min(max_per_img, cap)
+    nv = jnp.sum(top_valid.astype(jnp.int32))
+    over = quad_over_matrix_pallas(boxes_for_nms, float(iou_thr),
+                                   num_valid=nv)
+    keep = greedy_scan_sorted(over, top_valid, num_valid=nv)
+
+    out_scores, out_rank, det_valid = compact_keep_sorted(
+        keep[None], top_scores[None], min(max_per_img, cap)
     )
-    det_valid = out_scores > score_thr
+    out_scores, out_rank, det_valid = (
+        out_scores[0], out_rank[0], det_valid[0]
+    )
     out_boxes = top_boxes[out_rank]
     out_labels = jnp.where(det_valid, top_labels[out_rank], 0)
 
@@ -332,7 +391,7 @@ def multiclass_rnms_batch(
     Returns dets (B, max_per_img, 9|27), labels (B, max_per_img),
     valid (B, max_per_img).
     """
-    from .pallas_quad_iou import quad_iou_matrix_batch_pallas
+    from .pallas_quad_iou import quad_over_matrix_batch_pallas
 
     b, n, _ = bboxes.shape
     num_classes = scores.shape[2] - 1
@@ -359,21 +418,19 @@ def multiclass_rnms_batch(
     offsets = top_labels.astype(top_boxes.dtype)[..., None] * (max_coord + 1.0)
     boxes_for_nms = top_boxes + offsets
 
-    # rows already score-sorted by top_k; batched pairwise IoU with
-    # below-diagonal tiles skipped (the blocked scan only reads col > row)
-    # and per-image valid-prefix tile skipping (top_valid is a prefix of
-    # the score-sorted rows)
-    iou = quad_iou_matrix_batch_pallas(
-        boxes_for_nms, boxes_for_nms, upper_tri=True,
-        num_valid=jnp.sum(top_valid.astype(jnp.int32), axis=1),
+    # rows already score-sorted by top_k; fused over-mask kernel (int8
+    # IoU > thr, upper-triangle tiles, per-image valid-prefix skip) + scan
+    # with its trip count bounded by the real candidate count
+    nv = jnp.sum(top_valid.astype(jnp.int32), axis=1)
+    over = quad_over_matrix_batch_pallas(
+        boxes_for_nms, float(iou_thr), num_valid=nv,
     )
-    keep = greedy_scan_sorted(iou > iou_thr, top_valid)
+    keep = greedy_scan_sorted(over, top_valid, num_valid=nv)
 
     k_out = min(max_per_img, cap)
-    out_scores, out_rank = jax.lax.top_k(
-        jnp.where(keep, top_scores, _NEG), k_out
+    out_scores, out_rank, det_valid = compact_keep_sorted(
+        keep, top_scores, k_out
     )
-    det_valid = out_scores > score_thr
     out_boxes = gather(top_boxes, out_rank)
     out_labels = jnp.where(
         det_valid, jnp.take_along_axis(top_labels, out_rank, axis=1), 0

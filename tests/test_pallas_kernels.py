@@ -159,3 +159,36 @@ class TestUpperTriKernel:
             np.testing.assert_allclose(
                 tri_b[bi][live], full_b[bi][live], atol=1e-6)
             assert (tri_b[bi][~live] == 0).all()
+
+
+class TestOverMaskKernel:
+    def test_over_mask_matches_thresholded_iou(self, rng):
+        """quad_over_matrix_pallas == (IoU > thr) on the live region and
+        False elsewhere (single + batched, spanning the 64-row tile)."""
+        from orientedreppoints_tpu.ops.pallas_quad_iou import (
+            quad_iou_matrix_pallas, quad_over_matrix_batch_pallas,
+            quad_over_matrix_pallas,
+        )
+
+        n, nv, thr = 150, 83, 0.2
+        a = random_quads(rng, n, scale=22.0)
+        full = np.asarray(
+            quad_iou_matrix_pallas(jnp.asarray(a), jnp.asarray(a)))
+        over = np.asarray(quad_over_matrix_pallas(
+            jnp.asarray(a), thr, num_valid=jnp.int32(nv)))
+        rows = np.arange(n)[:, None]
+        cols = np.arange(n)[None, :]
+        live = (cols > rows) & (rows < nv) & (cols < nv)
+        np.testing.assert_array_equal(over[live], full[live] > thr)
+        assert not over[~live].any()
+
+        ab = np.stack([a, random_quads(rng, n, scale=22.0)])
+        nvb = jnp.asarray([83, 5], jnp.int32)
+        over_b = np.asarray(quad_over_matrix_batch_pallas(
+            jnp.asarray(ab), thr, num_valid=nvb))
+        for bi, v in enumerate([83, 5]):
+            fb = np.asarray(quad_iou_matrix_pallas(
+                jnp.asarray(ab[bi]), jnp.asarray(ab[bi])))
+            live = (cols > rows) & (rows < v) & (cols < v)
+            np.testing.assert_array_equal(over_b[bi][live], fb[live] > thr)
+            assert not over_b[bi][~live].any()
