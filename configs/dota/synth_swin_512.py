@@ -1,0 +1,159 @@
+# OrientedRepPoints Swin-Tiny on the synthetic DOTA quality benchmark —
+# the Swin-family counterpart of synth_r18_512.py (validates the 78.11-mAP
+# recipe machinery end-to-end: drop-path stochastic depth in training,
+# AdamW with no-decay keys, maxpool extra FPN levels).
+#
+# Same config surface as the reference swin demo
+# (configs/dota/orientedrepoints_swin_tiny_demo.py); shortened schedule
+# and from-scratch backbone because no ImageNet weights exist here.
+
+norm_cfg = dict(type="GN", num_groups=32, requires_grad=True)
+
+model = dict(
+    type="OrientedRepPointsDetector",
+    backbone=dict(
+        type="SwinTransformer",
+        embed_dim=96,
+        depths=[2, 2, 6, 2],
+        num_heads=[3, 6, 12, 24],
+        window_size=7,
+        drop_path_rate=0.2,
+        out_indices=(1, 2, 3),
+        frozen_stages=-1,
+    ),
+    neck=dict(
+        type="FPN",
+        in_channels=[192, 384, 768],
+        out_channels=256,
+        num_outs=5,
+        norm_cfg=norm_cfg,
+    ),
+    bbox_head=dict(
+        type="OrientedRepPointsHead",
+        num_classes=16,
+        in_channels=256,
+        feat_channels=256,
+        point_feat_channels=256,
+        stacked_convs=3,
+        num_points=9,
+        gradient_mul=0.3,
+        point_strides=[8, 16, 32, 64, 128],
+        point_base_scale=2,
+        norm_cfg=norm_cfg,
+        loss_cls=dict(
+            type="FocalLoss", use_sigmoid=True, gamma=2.0, alpha=0.25,
+            loss_weight=1.0,
+        ),
+        loss_rbox_init=dict(type="GIoULoss", loss_weight=0.375),
+        loss_rbox_refine=dict(type="GIoULoss", loss_weight=1.0),
+        loss_spatial_init=dict(type="SpatialBorderLoss", loss_weight=0.05),
+        loss_spatial_refine=dict(type="SpatialBorderLoss", loss_weight=0.1),
+        top_ratio=0.4,
+    ),
+)
+
+train_cfg = dict(
+    init=dict(
+        assigner=dict(type="PointAssigner", scale=4, pos_num=1),
+        allowed_border=-1,
+        pos_weight=-1,
+    ),
+    refine=dict(
+        assigner=dict(
+            type="MaxIoUAssigner",
+            pos_iou_thr=0.1,
+            neg_iou_thr=0.1,
+            min_pos_iou=0,
+            ignore_iof_thr=-1,
+        ),
+        allowed_border=-1,
+        pos_weight=-1,
+    ),
+)
+
+test_cfg = dict(
+    nms_pre=2000,
+    min_bbox_size=0,
+    score_thr=0.05,
+    nms=dict(type="rnms", iou_thr=0.4),
+    max_per_img=512,
+)
+
+dataset_type = "DotaDataset"
+data_root = "work_dirs/synth_swin/"
+img_norm_cfg = dict(
+    mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], to_rgb=True
+)
+train_pipeline = [
+    dict(type="LoadImageFromFile"),
+    dict(type="LoadAnnotations", with_bbox=True),
+    dict(type="CorrectBox", correct_rbbox=True, refine_rbbox=True),
+    dict(type="RotateResize", img_scale=(512, 512), keep_ratio=True),
+    dict(type="RotateRandomFlip", flip_ratio=0.5),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Pad", size_divisor=32),
+]
+test_pipeline = [
+    dict(type="LoadImageFromFile"),
+    dict(type="RotateResize", img_scale=(512, 512), keep_ratio=True),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Pad", size_divisor=32),
+]
+data = dict(
+    imgs_per_gpu=8,
+    workers_per_gpu=2,
+    train=dict(
+        type=dataset_type,
+        ann_file=data_root + "train_split/train.json",
+        img_prefix=data_root + "train_split/images/",
+        pipeline=train_pipeline,
+    ),
+    val=dict(
+        type=dataset_type,
+        ann_file=data_root + "val_split/test.json",
+        img_prefix=data_root + "val_split/images/",
+        pipeline=test_pipeline,
+    ),
+    test=dict(
+        type=dataset_type,
+        ann_file=data_root + "val_split/test.json",
+        img_prefix=data_root + "val_split/images/",
+        pipeline=test_pipeline,
+    ),
+)
+evaluation = dict(interval=1, metric="bbox")
+
+optimizer = dict(
+    type="AdamW", lr=0.0001, weight_decay=0.05,
+    paramwise_cfg=dict(
+        custom_keys=dict(
+            absolute_pos_embed=dict(decay_mult=0.0),
+            relative_position_bias_table=dict(decay_mult=0.0),
+            norm=dict(decay_mult=0.0),
+        )
+    ),
+)
+optimizer_config = dict(grad_clip=dict(max_norm=35, norm_type=2))
+lr_config = dict(
+    policy="step",
+    warmup="linear",
+    warmup_iters=100,
+    warmup_ratio=1.0 / 3,
+    step=[40, 52],
+)
+checkpoint_config = dict(interval=1)
+log_config = dict(interval=50)
+total_epochs = 60
+log_level = "INFO"
+work_dir = "work_dirs/synth_swin_512/"
+load_from = None
+resume_from = None
+
+tpu = dict(
+    global_batch_size=8,
+    mesh_axes=("data",),
+    compute_dtype="bfloat16",
+    canvas_buckets=[(512, 512)],
+    max_gt=64,
+    max_pos=512,
+)

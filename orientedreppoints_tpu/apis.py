@@ -43,11 +43,11 @@ def init_detector(config, checkpoint_dir: str | None = None,
                 mngr.latest_step(),
                 args=ocp.args.StandardRestore(
                     {"params": variables["params"],
-                     "batch_stats": variables["batch_stats"]}
+                     "batch_stats": variables.get("batch_stats", {})}
                 ),
             )
         variables = {"params": restored["params"],
-                     "batch_stats": restored["batch_stats"]}
+                     "batch_stats": restored.get("batch_stats", {})}
     return model, variables, cfg
 
 

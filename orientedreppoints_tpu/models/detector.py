@@ -93,6 +93,7 @@ def decode_detections(
     max_per_img: int = 2000,
     scale_factor: float | jnp.ndarray = 1.0,
     with_reppoints: bool = True,
+    pre_nms_cap: int = 4096,
 ):
     """Decode head outputs into final rotated detections (batched).
 
@@ -148,6 +149,7 @@ def decode_detections(
     return multiclass_rnms_batch(
         all_boxes, padded, score_thr, iou_thr, max_per_img,
         reppoints=all_pts if with_reppoints else None,
+        pre_nms_cap=pre_nms_cap,
     )
 
 

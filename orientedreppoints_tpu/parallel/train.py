@@ -178,8 +178,12 @@ def make_train_step(
     base_rng = dropout_rng if dropout_rng is not None else jax.random.key(0)
 
     def loss_fn(params, batch_stats, batch, rng):
+        # norm-free backbones (Swin) have no batch_stats collection
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
         outs = model.apply(
-            {"params": params, "batch_stats": batch_stats}, batch["images"],
+            variables, batch["images"],
             deterministic=False, rngs={"dropout": rng},
         )
         losses = compute_losses(

@@ -87,7 +87,8 @@ class TestInferenceToEval:
         imgs = jnp.asarray(rng.rand(1, IMG, IMG, 3).astype(np.float32))
         outs = model.apply(variables, imgs)
         dets, labels, valid = decode_detections(
-            outs, nms_pre=200, score_thr=1e-5, iou_thr=0.4, max_per_img=50
+            outs, nms_pre=200, score_thr=1e-5, iou_thr=0.4, max_per_img=50,
+            pre_nms_cap=256,  # default 4096 = multi-minute CPU compile
         )
         dets, labels, valid = map(np.asarray, (dets, labels, valid))
         keep = valid[0]

@@ -192,3 +192,4 @@ class TestOverMaskKernel:
             live = (cols > rows) & (rows < v) & (cols < v)
             np.testing.assert_array_equal(over_b[bi][live], fb[live] > thr)
             assert not over_b[bi][~live].any()
+

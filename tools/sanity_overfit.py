@@ -89,7 +89,7 @@ def main():
     tx = build_optimizer(variables["params"], lambda s: args.lr)
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=variables["params"],
-        batch_stats=variables["batch_stats"],
+        batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(variables["params"]), tx=tx,
     )
     step_fn = make_train_step(model, LossConfig(max_pos=64))

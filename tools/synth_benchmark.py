@@ -45,6 +45,9 @@ def parse_args():
     p.add_argument("--epochs", type=int, default=None,
                    help="override config total_epochs")
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--hard", action="store_true",
+                   help="15-class confusable benchmark (clutter, noise, "
+                        "dense packing) instead of the easy 6-class one")
     p.add_argument("--skip_gen", action="store_true")
     p.add_argument("--skip_train", action="store_true")
     p.add_argument("--log_interval", type=int, default=50)
@@ -63,10 +66,12 @@ def generate(args):
     generate_synth_dota(
         osp.join(wd, "train_raw"), args.train_scenes, size=args.scene_size,
         n_objects=args.n_objects, seed=args.seed, prefix="T",
+        hard=args.hard,
     )
     val_names = generate_synth_dota(
         osp.join(wd, "val_raw"), args.val_scenes, size=args.scene_size,
         n_objects=args.n_objects, seed=args.seed + 10_000, prefix="V",
+        hard=args.hard,
     )
     print("splitting ...", flush=True)
     for src, dst in (("train_raw", "train_split"), ("val_raw", "val_split")):
@@ -131,7 +136,7 @@ def train(args, cfg):
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
-        batch_stats=variables["batch_stats"],
+        batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(variables["params"]),
         tx=tx,
     )
@@ -164,7 +169,9 @@ def train(args, cfg):
 
 def evaluate(args, cfg, model, variables, val_names):
     from orientedreppoints_tpu.apis import run_inference
-    from orientedreppoints_tpu.data.synth import SYNTH_CLASS_SPECS
+    from orientedreppoints_tpu.data.synth import (
+        SYNTH_CLASS_SPECS, SYNTH_HARD_CLASS_SPECS,
+    )
     from orientedreppoints_tpu.devkit.dota_utils import DOTA10_CLASSES
     from orientedreppoints_tpu.devkit.evaluation import (
         eval_dota_task1, eval_maoe,
@@ -195,7 +202,8 @@ def evaluate(args, cfg, model, variables, val_names):
 
     detpath = osp.join(merged, "Task1_{:s}.txt")
     annopath = osp.join(wd, "val_raw", "labelTxt", "{:s}.txt")
-    classnames = list(SYNTH_CLASS_SPECS)
+    classnames = list(
+        SYNTH_HARD_CLASS_SPECS if args.hard else SYNTH_CLASS_SPECS)
     mAP, aps = eval_dota_task1(
         detpath, annopath, val_names, classnames=classnames,
         use_07_metric=False,
@@ -247,7 +255,7 @@ def main():
 
     mAP, aps, mAOE, aoes = evaluate(args, cfg, model, variables, val_names)
     out = {
-        "metric": "synth_dota_mAP",
+        "metric": "synth_dota_hard_mAP" if args.hard else "synth_dota_mAP",
         "mAP": round(mAP, 4),
         "mAOE_deg": round(mAOE, 2),
         "per_class_ap": {k: round(v, 4) for k, v in aps.items()},

@@ -69,7 +69,7 @@ def main():
 
         state = TrainState(
             step=jnp.zeros((), jnp.int32), params=variables["params"],
-            batch_stats=variables["batch_stats"], opt_state=(), tx=None,
+            batch_stats=variables.get("batch_stats", {}), opt_state=(), tx=None,
         )
         # restore only params/batch_stats
         import orbax.checkpoint as ocp
@@ -80,7 +80,7 @@ def main():
                 step,
                 args=ocp.args.StandardRestore(
                     {"params": variables["params"],
-                     "batch_stats": variables["batch_stats"]}
+                     "batch_stats": variables.get("batch_stats", {})}
                 ),
             )
         variables = {"params": restored["params"],
