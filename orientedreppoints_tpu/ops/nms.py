@@ -17,13 +17,19 @@ can live inside jit with static shapes.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from .geometry import quad_iou_matrix
 
 _NEG = -1e9
-_SCAN_BLK = 128
+# suppression-scan block (rows unrolled per fori_loop step).  128 is the
+# TPU dispatch/compute sweet spot; the CPU test suite sets ORP_SCAN_BLK=32
+# because XLA:CPU compile time of the unrolled block dominates suite wall
+# time (results are blk-independent — see TestBlockedScan).
+_SCAN_BLK = int(os.environ.get("ORP_SCAN_BLK", "128"))
 
 
 def greedy_scan_sorted(over: jnp.ndarray, valid: jnp.ndarray,

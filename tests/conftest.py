@@ -10,6 +10,10 @@ must override via jax.config, not just env vars.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# shrink the unrolled NMS suppression-scan block: identical results, ~4x
+# smaller XLA:CPU graphs (the 128-row block made decode compiles take
+# minutes; see ops/nms.py _SCAN_BLK)
+os.environ.setdefault("ORP_SCAN_BLK", "32")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

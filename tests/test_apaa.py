@@ -143,7 +143,9 @@ class TestOverflowCounter:
 
         outs = self._outs(rng)
         gts = self._gts(rng)
-        big = compute_losses(outs, *gts, LossConfig(max_pos=512))
+        # max_pos=256 (not 512): the setup assigns ~213 positives, so
+        # nothing overflows here and the graph compiles faster on CPU
+        big = compute_losses(outs, *gts, LossConfig(max_pos=256))
         assigned = float(big["num_assigned_pos"])
         assert assigned > 8, "test setup must produce many positives"
         assert float(big["overflow_pos"]) == 0
