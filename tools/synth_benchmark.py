@@ -48,6 +48,10 @@ def parse_args():
     p.add_argument("--hard", action="store_true",
                    help="15-class confusable benchmark (clutter, noise, "
                         "dense packing) instead of the easy 6-class one")
+    p.add_argument("--hrsc", action="store_true",
+                   help="single-class ship scenes; additionally scores the "
+                        "merged detections with the HRSC2016 evaluator "
+                        "(devkit/hrsc.py eval_hrsc2016, VOC-07)")
     p.add_argument("--skip_gen", action="store_true")
     p.add_argument("--skip_train", action="store_true")
     p.add_argument("--log_interval", type=int, default=50)
@@ -55,6 +59,7 @@ def parse_args():
 
 
 def generate(args):
+    from orientedreppoints_tpu.data import synth
     from orientedreppoints_tpu.data.synth import generate_synth_dota
     from orientedreppoints_tpu.devkit.dota2coco import (
         dota2coco_test, dota2coco_train,
@@ -63,16 +68,31 @@ def generate(args):
 
     wd = args.work_dir
     print("generating scenes ...", flush=True)
-    generate_synth_dota(
-        osp.join(wd, "train_raw"), args.train_scenes, size=args.scene_size,
-        n_objects=args.n_objects, seed=args.seed, prefix="T",
-        hard=args.hard,
-    )
-    val_names = generate_synth_dota(
-        osp.join(wd, "val_raw"), args.val_scenes, size=args.scene_size,
-        n_objects=args.n_objects, seed=args.seed + 10_000, prefix="V",
-        hard=args.hard,
-    )
+    if args.hrsc:
+        # ship-only scenes: restrict the easy spec to the ship class for
+        # the duration of the generation calls
+        ship_specs = {"ship": synth.SYNTH_CLASS_SPECS["ship"]}
+        orig_render = synth.render_scene
+
+        def ship_render(rng, **kw):
+            kw["specs"] = ship_specs
+            return orig_render(rng, **kw)
+
+        synth.render_scene = ship_render
+    try:
+        generate_synth_dota(
+            osp.join(wd, "train_raw"), args.train_scenes,
+            size=args.scene_size, n_objects=args.n_objects, seed=args.seed,
+            prefix="T", hard=args.hard,
+        )
+        val_names = generate_synth_dota(
+            osp.join(wd, "val_raw"), args.val_scenes, size=args.scene_size,
+            n_objects=args.n_objects, seed=args.seed + 10_000, prefix="V",
+            hard=args.hard,
+        )
+    finally:
+        if args.hrsc:
+            synth.render_scene = orig_render
     print("splitting ...", flush=True)
     for src, dst in (("train_raw", "train_split"), ("val_raw", "val_split")):
         ImgSplit(
@@ -202,15 +222,25 @@ def evaluate(args, cfg, model, variables, val_names):
 
     detpath = osp.join(merged, "Task1_{:s}.txt")
     annopath = osp.join(wd, "val_raw", "labelTxt", "{:s}.txt")
-    classnames = list(
-        SYNTH_HARD_CLASS_SPECS if args.hard else SYNTH_CLASS_SPECS)
+    classnames = (
+        ["ship"] if args.hrsc
+        else list(SYNTH_HARD_CLASS_SPECS if args.hard else SYNTH_CLASS_SPECS)
+    )
     mAP, aps = eval_dota_task1(
         detpath, annopath, val_names, classnames=classnames,
         use_07_metric=False,
     )
     mAOE, aoes = eval_maoe(detpath, annopath, val_names,
                            classnames=classnames)
-    return mAP, aps, mAOE, aoes
+    extra = {}
+    if args.hrsc:
+        # score the same merged detections with the HRSC2016 evaluator
+        # (VOC-07 metric, reference hrsc2016_evaluation.py semantics)
+        from orientedreppoints_tpu.devkit.hrsc import eval_hrsc2016
+
+        extra["hrsc_ap07"] = round(float(eval_hrsc2016(
+            detpath, annopath, val_names, use_07_metric=True)), 4)
+    return mAP, aps, mAOE, aoes, extra
 
 
 def main():
@@ -253,13 +283,17 @@ def main():
     else:
         model, variables = train(args, cfg)
 
-    mAP, aps, mAOE, aoes = evaluate(args, cfg, model, variables, val_names)
+    mAP, aps, mAOE, aoes, extra = evaluate(args, cfg, model, variables,
+                                           val_names)
     out = {
-        "metric": "synth_dota_hard_mAP" if args.hard else "synth_dota_mAP",
+        "metric": ("synth_hrsc_mAP" if args.hrsc
+                   else "synth_dota_hard_mAP" if args.hard
+                   else "synth_dota_mAP"),
         "mAP": round(mAP, 4),
         "mAOE_deg": round(mAOE, 2),
         "per_class_ap": {k: round(v, 4) for k, v in aps.items()},
         "per_class_aoe": {k: round(v, 2) for k, v in aoes.items()},
+        **extra,
     }
     print(json.dumps(out), flush=True)
     with open(osp.join(args.work_dir, "synth_eval.json"), "w") as f:
