@@ -272,17 +272,17 @@ def compute_losses(outs, gt_polys, gt_labels, gt_valid, img_hw, cfg: LossConfig)
     ) * (num_pos > 0)
 
     # ---- init losses per level (head init_loss_single :294-318) -------------
-    # compact to max_gt candidates per level first: the PointAssigner puts
-    # at most one positive per gt (pos_num=1), so top-k on the weight row
-    # captures every positive while shrinking the autodiffed convex-GIoU
-    # graph from B x N_level rows to B x max_gt (the refine path already
-    # compacts the same way via compact_positives)
+    # compact to max_gt * pos_num candidates per level first: the
+    # PointAssigner puts at most pos_num positives per gt, so top-k on the
+    # weight row captures every positive while shrinking the autodiffed
+    # convex-GIoU graph from B x N_level rows to B x (max_gt * pos_num)
+    # (the refine path already compacts the same way via compact_positives)
     loss_rbox_init = 0.0
     loss_spatial_init = 0.0
     for lvl, s in enumerate(cfg.strides):
         lo, hi = int(bounds[lvl]), int(bounds[lvl + 1])
         norm = cfg.point_base_scale * float(s)
-        k = min(max_gt, hi - lo)
+        k = min(max_gt * cfg.init_assign_pos_num, hi - lo)
         w_top, top_idx = jax.lax.top_k(init_tg.pos_weights[:, lo:hi], k)
         pred = jnp.take_along_axis(
             pts_init[:, lo:hi], top_idx[..., None], axis=1

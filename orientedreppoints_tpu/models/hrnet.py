@@ -148,6 +148,16 @@ class HRNet(nn.Module):
             for i in range(cfg["num_branches"]):
                 if i < len(prev_channels):
                     if cur_channels[i] != prev_channels[i]:
+                        # INTENTIONAL deviation: the reference forward
+                        # feeds every non-None transition from y_list[-1]
+                        # (hrnet.py:500-513) even for an existing branch,
+                        # but its transition conv was built for branch-i
+                        # channels (_make_transition_layer), so any config
+                        # reaching that path crashes upstream on a channel
+                        # mismatch.  Standard W18/W32/W48 configs never
+                        # build one (widths match -> None).  We feed
+                        # branch i so custom-width configs actually work;
+                        # see docs/PARITY.md (HRNet note).
                         ins.append(_ConvBN(
                             cur_channels[i], 3, 1, dtype=self.dtype,
                             name=f"transition{si}_{i}")(feats[i]))

@@ -149,7 +149,9 @@ def rotated_nms_mask(
     Args:
       quads: (N, 8) polygons.
       scores: (N,) scores; processed in descending order.
-      iou_thr: suppression threshold (exact polygon IoU).
+      iou_thr: suppression threshold (exact polygon IoU).  Must be a
+        static Python float — it is baked into the fused Pallas over-mask
+        kernel at trace time; a traced/array threshold raises.
       valid: optional (N,) bool; invalid rows are never kept.
 
     Returns:
@@ -312,7 +314,8 @@ def multiclass_rnms(
       scores: (N, C+1) class scores; column 0 is the background pad and is
         ignored (bbox_nms.py:129).
       score_thr: minimum class score.
-      iou_thr: rotated NMS IoU threshold.
+      iou_thr: rotated NMS IoU threshold.  Static Python float only (see
+        rotated_nms_mask — the threshold is fused into the Pallas kernel).
       max_per_img: fixed number of output rows.
       reppoints: optional (N, 18) point sets carried to the output
         (bbox_nms.py:169-172 prepends reppoints to the output row).

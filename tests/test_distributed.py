@@ -7,8 +7,16 @@ Runs in a subprocess: jax.distributed.initialize is process-global and
 must not leak into the test runner's JAX runtime.
 """
 
+import socket
 import subprocess
 import sys
+
+
+def _free_port() -> int:
+    """Ask the kernel for a free port (bind 0, read it back, release)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
 
 _CHILD = r"""
 import os
@@ -78,13 +86,14 @@ def test_two_process_pod_psum():
     dist_train.sh multi-host contract) and a cross-process psum over the
     8-device global mesh returns the right value on both."""
     procs = []
+    addr = f"localhost:{_free_port()}"
     for pid in (0, 1):
         procs.append(subprocess.Popen(
             [sys.executable, "-c", _CHILD2],
             env={
                 "PATH": "/usr/bin:/bin",
                 "HOME": "/root",
-                "ORP_COORDINATOR_ADDRESS": "localhost:29533",
+                "ORP_COORDINATOR_ADDRESS": addr,
                 "ORP_NUM_PROCESSES": "2",
                 "ORP_PROCESS_ID": str(pid),
             },
@@ -102,7 +111,7 @@ def test_single_process_coordinator_init():
         env={
             "PATH": "/usr/bin:/bin",
             "HOME": "/root",
-            "ORP_COORDINATOR_ADDRESS": "localhost:29511",
+            "ORP_COORDINATOR_ADDRESS": f"localhost:{_free_port()}",
             "ORP_NUM_PROCESSES": "1",
             "ORP_PROCESS_ID": "0",
         },

@@ -84,6 +84,48 @@ class TestLosses:
         assert float(losses["num_pos"]) == 0
         assert float(losses["loss_cls"]) == 0  # reference zeroes on no pos
 
+    def test_init_loss_pos_num_gt1_padding_invariant(self, setup):
+        """With init_assign_pos_num>1 a level can hold pos_num*G positives;
+        the init-loss compaction must size its top-k accordingly (ADVICE r2:
+        k = max_gt alone silently drops positive rows), so the loss must not
+        change with the gt-padding width."""
+        model, variables, _ = setup
+        cfg = LossConfig(max_pos=64, init_assign_pos_num=4)
+        centers = [(28, 28), (28, 96), (96, 28), (96, 96)]
+
+        def make(max_gt):
+            polys = np.zeros((1, max_gt, 8), np.float32)
+            labels = np.zeros((1, max_gt), np.int32)
+            valid = np.zeros((1, max_gt), bool)
+            for j, (cx, cy) in enumerate(centers):
+                r = np.array(
+                    [[-12, -12], [12, -12], [12, 12], [-12, 12]], np.float32
+                )
+                polys[0, j] = (r + [cx, cy]).reshape(-1)
+                labels[0, j] = j + 1
+                valid[0, j] = True
+            return jnp.asarray(polys), jnp.asarray(labels), jnp.asarray(valid)
+
+        imgs = jnp.asarray(
+            np.random.RandomState(3).rand(1, IMG, IMG, 3).astype(np.float32)
+        )
+        outs = jax.jit(model.apply)(variables, imgs)
+        hw = jnp.full((1, 2), IMG, jnp.int32)
+        # jitted (not eager): the graph lands in the persistent compile
+        # cache, so repeat suite runs skip the compile entirely
+        loss_fn = jax.jit(
+            lambda o, p, l, v: compute_losses(o, p, l, v, hw, cfg)
+        )
+        vals = []
+        for max_gt in (4, 16):
+            p, l, v = make(max_gt)
+            losses = loss_fn(outs, p, l, v)
+            vals.append({k: float(x) for k, x in losses.items()})
+        for k in vals[0]:
+            assert abs(vals[0][k] - vals[1][k]) < 1e-5, (
+                k, vals[0][k], vals[1][k])
+        assert vals[0]["loss_rbox_init"] > 0
+
     def test_grads_flow(self, setup, rng):
         model, variables, cfg = setup
         batch = make_batch(rng, 1)

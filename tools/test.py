@@ -84,7 +84,7 @@ def main():
                 ),
             )
         variables = {"params": restored["params"],
-                     "batch_stats": restored["batch_stats"]}
+                     "batch_stats": restored.get("batch_stats", {})}
         log.info("loaded checkpoint step %s from %s", step, args.checkpoint)
 
     @jax.jit
