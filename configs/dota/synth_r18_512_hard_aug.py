@@ -36,7 +36,9 @@ resume_from = None
 work_dir = "work_dirs/synth_r18_512_hard_aug/"
 
 train_pipeline = [
-    dict(type="LoadImageFromFile"),
+    # decoded-image RAM cache: the mosaic x mixup recipe loads 8 tiles per
+    # output sample; caching removes the dominant PNG-decode host cost
+    dict(type="LoadImageFromFile", cache=True),
     dict(type="LoadAnnotations", with_bbox=True),
     dict(type="CorrectBox", correct_rbbox=True, refine_rbbox=True),
     dict(

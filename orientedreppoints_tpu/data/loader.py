@@ -171,9 +171,11 @@ class DataLoader:
             # unblock + join the worker so no thread outlives the epoch
             stop_evt.set()
             try:
-                while True:
+                while not q.empty():
                     q.get_nowait()
-            except queue.Empty:
+            except BaseException:
+                # queue.Empty, or module teardown when a generator is
+                # GC'd at interpreter shutdown (names already cleared)
                 pass
             t.join(timeout=10.0)
             self.epoch += 1

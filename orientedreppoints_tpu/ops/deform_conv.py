@@ -18,6 +18,7 @@ bilinear with border zeroing).
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -164,41 +165,26 @@ def _bilinear_gather_fused(feat: jnp.ndarray, py: jnp.ndarray,
     return out.reshape((b,) + out_shape + (c,))
 
 
-def deform_conv2d_pyramid(
-    feats: list,
-    offsets: list,
-    weight: jnp.ndarray,
-    kernel_size: int = 3,
-) -> list:
-    """DCNv1 over a whole feature pyramid with ONE fused gather table.
+def _pyramid_plan(shapes, offsets, kernel_size: int):
+    """Shared sampling plan for pyramid-fused DCN.
 
-    feats: per-level (B, H_l, W_l, C) maps (same B and C across levels);
-    offsets: per-level (B, H_l, W_l, 2K) deformation offsets (same
-    convention as deform_conv2d); weight: (K, C, Cout).
-    Returns the per-level (B, H_l, W_l, Cout) outputs.
+    Flattens every (level, image, pixel, kernel-position) sample into one
+    global row space over the concatenated (sum_l B*H_l*W_l, C) feature
+    table and returns, concatenated across levels:
+      idx: 4 int32 (N,) row indices, one per bilinear corner;
+      ok:  4 bool  (N,) in-bounds masks;
+      wy, wx: (N,) f32 bilinear lerp weights.
 
-    Measured motivation (v5e, tools/bench_dcn_gather.py round 2): issuing
-    the bilinear gathers per level leaves them poorly overlapped
-    (~12 ns/row effective); flattening every level+image into one
-    (sum_l B*H_l*W_l, C) table and gathering ALL samples with 4 big
-    corner takes reaches the large-N take rate (~5 ns/row) — 78.8 ms ->
-    34.6 ms for the two head DCN instances at 1024^2/B4.  Folding the 4
-    corners into one take as well makes it slower again (71 ms): the 4
-    independent takes overlap almost perfectly while a single take of 4x
-    the rows pays full marginal cost.
+    shapes: static per-level (B, H_l, W_l) tuples.
     """
-    k = weight.shape[0]
-    c = feats[0].shape[-1]
-    b = feats[0].shape[0]
+    k = kernel_size * kernel_size
+    b = shapes[0][0]
     base = jnp.asarray(dcn_base_offset(kernel_size), jnp.float32)
-
-    flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
     idxs = [[], [], [], []]
     oks = [[], [], [], []]
     wys, wxs = [], []
     lvl_base = 0
-    for f, o in zip(feats, offsets):
-        _, h, w, _ = f.shape
+    for (_, h, w), o in zip(shapes, offsets):
         off = (o.astype(jnp.float32) + base).reshape(b, h, w, k, 2)
         iy = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
         ix = jnp.arange(w, dtype=jnp.float32)[None, None, :, None]
@@ -228,8 +214,54 @@ def deform_conv2d_pyramid(
 
     idx = [jnp.concatenate(x) for x in idxs]
     ok = [jnp.concatenate(x) for x in oks]
-    wy = jnp.concatenate(wys)[:, None].astype(flat.dtype)
-    wx = jnp.concatenate(wxs)[:, None].astype(flat.dtype)
+    wy = jnp.concatenate(wys)
+    wx = jnp.concatenate(wxs)
+    return idx, ok, wy, wx
+
+
+def _split_levels(flat_rows: jnp.ndarray, feats: list, chans: int) -> list:
+    """(sum_l B*H_l*W_l, chans) rows -> per-level (B, H_l, W_l, chans)."""
+    outs = []
+    start = 0
+    for f in feats:
+        b, h, w, _ = f.shape
+        outs.append(flat_rows[start:start + b * h * w].reshape(b, h, w,
+                                                               chans))
+        start += b * h * w
+    return outs
+
+
+def deform_conv2d_pyramid(
+    feats: list,
+    offsets: list,
+    weight: jnp.ndarray,
+    kernel_size: int = 3,
+) -> list:
+    """DCNv1 over a whole feature pyramid with ONE fused gather table.
+
+    feats: per-level (B, H_l, W_l, C) maps (same B and C across levels);
+    offsets: per-level (B, H_l, W_l, 2K) deformation offsets (same
+    convention as deform_conv2d); weight: (K, C, Cout).
+    Returns the per-level (B, H_l, W_l, Cout) outputs.
+
+    Measured motivation (v5e, tools/bench_dcn_gather.py round 2): issuing
+    the bilinear gathers per level leaves them poorly overlapped
+    (~12 ns/row effective); flattening every level+image into one
+    (sum_l B*H_l*W_l, C) table and gathering ALL samples with 4 big
+    corner takes reaches the large-N take rate (~5 ns/row) — 78.8 ms ->
+    34.6 ms for the two head DCN instances at 1024^2/B4.  Folding the 4
+    corners into one take as well makes it slower again (71 ms): the 4
+    independent takes overlap almost perfectly while a single take of 4x
+    the rows pays full marginal cost.
+    """
+    k = weight.shape[0]
+    c = feats[0].shape[-1]
+
+    flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
+    shapes = tuple(f.shape[:3] for f in feats)
+    idx, ok, wy, wx = _pyramid_plan(shapes, offsets, kernel_size)
+    wy = wy[:, None].astype(flat.dtype)
+    wx = wx[:, None].astype(flat.dtype)
 
     # 4 independent corner takes over the global table (they overlap)
     v = [
@@ -247,15 +279,182 @@ def deform_conv2d_pyramid(
         "nkc,kco->no", samples, weight.astype(samples.dtype),
         preferred_element_type=jnp.float32,
     ).astype(feats[0].dtype)
+    return _split_levels(out, feats, weight.shape[-1])
 
-    outs = []
+
+def _pair_corners(flat_a, flat_b, idx, ok):
+    """8 independent corner takes (4 per instance; they overlap on TPU)."""
+    va = [
+        jnp.take(flat_a, i, axis=0) * o[:, None].astype(flat_a.dtype)
+        for i, o in zip(idx, ok)
+    ]
+    vb = [
+        jnp.take(flat_b, i, axis=0) * o[:, None].astype(flat_b.dtype)
+        for i, o in zip(idx, ok)
+    ]
+    return va, vb
+
+
+def _lerp_weights(wy, wx, dtype):
+    wyc = wy[:, None].astype(dtype)
+    wxc = wx[:, None].astype(dtype)
+    return ((1 - wyc) * (1 - wxc), (1 - wyc) * wxc,
+            wyc * (1 - wxc), wyc * wxc), wyc, wxc
+
+
+def _combine(v, cw, k, c):
+    return (v[0] * cw[0] + v[1] * cw[1] + v[2] * cw[2]
+            + v[3] * cw[3]).reshape(-1, k, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _pair_core(kernel_size, shapes, flat_a, flat_b, offsets, weight_a,
+               weight_b):
+    (out_a, out_b), _ = _pair_core_fwd_impl(
+        kernel_size, shapes, flat_a, flat_b, offsets, weight_a, weight_b)
+    return out_a, out_b
+
+
+def _pair_core_fwd_impl(kernel_size, shapes, flat_a, flat_b, offsets,
+                        weight_a, weight_b):
+    k = kernel_size * kernel_size
+    c = flat_a.shape[-1]
+    idx, ok, wy, wx = _pyramid_plan(shapes, offsets, kernel_size)
+    va, vb = _pair_corners(flat_a, flat_b, idx, ok)
+    cw, _, _ = _lerp_weights(wy, wx, flat_a.dtype)
+    sa = _combine(va, cw, k, c)
+    sb = _combine(vb, cw, k, c)
+    out_a = jnp.einsum(
+        "nkc,kco->no", sa, weight_a.astype(sa.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(flat_a.dtype)
+    out_b = jnp.einsum(
+        "nkc,kco->no", sb, weight_b.astype(sb.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(flat_b.dtype)
+    # residuals: corner values (same liveness autodiff would keep for the
+    # lerp-weight grads), plan arrays, weights, offsets (tiny, for dtype/
+    # structure of their cotangent)
+    res = (idx, ok, wy, wx, va, vb, weight_a, weight_b, offsets)
+    return (out_a, out_b), res
+
+
+def _pair_core_fwd(kernel_size, shapes, flat_a, flat_b, offsets, weight_a,
+                   weight_b):
+    return _pair_core_fwd_impl(kernel_size, shapes, flat_a, flat_b, offsets,
+                               weight_a, weight_b)
+
+
+def _pair_core_bwd(kernel_size, shapes, res, g):
+    idx, ok, wy, wx, va, vb, weight_a, weight_b, offsets = res
+    g_a, g_b = g
+    k = kernel_size * kernel_size
+    c = va[0].shape[-1]
+    dt = va[0].dtype
+    rows = sum(b * h * w for b, h, w in shapes)
+
+    # grad wrt samples: (P, K, Cout) x (K, C, Cout) -> (P, K, C) rows
+    gs_a = jnp.einsum(
+        "no,kco->nkc", g_a.astype(dt), weight_a.astype(dt),
+        preferred_element_type=jnp.float32,
+    ).reshape(-1, c)
+    gs_b = jnp.einsum(
+        "no,kco->nkc", g_b.astype(dt), weight_b.astype(dt),
+        preferred_element_type=jnp.float32,
+    ).reshape(-1, c)
+
+    cw, wyc, wxc = _lerp_weights(wy, wx, dt)
+    gs_a_dt = gs_a.astype(dt)
+    gs_b_dt = gs_b.astype(dt)
+
+    # --- feature-table grads: 4 COMBINED (N, 2C) corner scatters ---------
+    # Both instances share idx/ok, and TPU scatter cost is per-row (DESIGN
+    # s10: two (N, C) scatters cost ~35% more than one (N, 2C) scatter of
+    # the same payload), so the corner grads are concatenated channel-wise
+    # and scattered once per corner into a (rows, 2C) table.
+    gtab = jnp.zeros((rows, 2 * c), dt)
+    for i in range(4):
+        gv = jnp.concatenate(
+            [gs_a_dt * cw[i], gs_b_dt * cw[i]], axis=-1
+        ) * ok[i][:, None].astype(dt)
+        gtab = gtab.at[idx[i]].add(gv)
+    gflat_a = gtab[:, :c]
+    gflat_b = gtab[:, c:]
+
+    # --- weight grads (recompute samples from the corner residuals) -----
+    sa = _combine(va, cw, k, c)
+    sb = _combine(vb, cw, k, c)
+    gw_a = jnp.einsum(
+        "nkc,no->kco", sa, g_a.astype(dt),
+        preferred_element_type=jnp.float32,
+    ).astype(weight_a.dtype)
+    gw_b = jnp.einsum(
+        "nkc,no->kco", sb, g_b.astype(dt),
+        preferred_element_type=jnp.float32,
+    ).astype(weight_b.dtype)
+
+    # --- offset grads (both instances flow into the SHARED offsets) -----
+    one = jnp.ones_like(wyc)
+    ddy_a = (va[2] - va[0]) * (one - wxc) + (va[3] - va[1]) * wxc
+    ddx_a = (va[1] - va[0]) * (one - wyc) + (va[3] - va[2]) * wyc
+    ddy_b = (vb[2] - vb[0]) * (one - wxc) + (vb[3] - vb[1]) * wxc
+    ddx_b = (vb[1] - vb[0]) * (one - wyc) + (vb[3] - vb[2]) * wyc
+    gwy = jnp.sum(gs_a * ddy_a.astype(jnp.float32)
+                  + gs_b * ddy_b.astype(jnp.float32), axis=-1)  # (N,)
+    gwx = jnp.sum(gs_a * ddx_a.astype(jnp.float32)
+                  + gs_b * ddx_b.astype(jnp.float32), axis=-1)
+
+    goffsets = []
     start = 0
-    cout = weight.shape[-1]
-    for f in feats:
-        _, h, w, _ = f.shape
-        outs.append(out[start:start + b * h * w].reshape(b, h, w, cout))
-        start += b * h * w
-    return outs
+    for (b, h, w), o in zip(shapes, offsets):
+        n_l = b * h * w * k
+        gy = gwy[start:start + n_l].reshape(b, h, w, k)
+        gx = gwx[start:start + n_l].reshape(b, h, w, k)
+        goffsets.append(
+            jnp.stack([gy, gx], axis=-1).reshape(b, h, w, 2 * k)
+            .astype(o.dtype)
+        )
+        start += n_l
+
+    return gflat_a, gflat_b, tuple(goffsets), gw_a, gw_b
+
+
+_pair_core.defvjp(_pair_core_fwd, _pair_core_bwd)
+
+
+def deform_conv2d_pyramid_pair(
+    feats_a: list,
+    feats_b: list,
+    offsets: list,
+    weight_a: jnp.ndarray,
+    weight_b: jnp.ndarray,
+    kernel_size: int = 3,
+):
+    """Two pyramid-fused DCN instances sharing one set of sampling offsets.
+
+    The head's cls and refine DCNs (orientedreppoints_head.py:163-166)
+    sample at IDENTICAL locations (same pts - base offsets) over different
+    feature towers.  Forward stays the overlapped 2x4-corner-take form of
+    deform_conv2d_pyramid (wide-row gathers measured slower); the custom
+    backward combines both instances' per-corner feature-table scatters
+    into 4 (N, 2C)-row scatters instead of autodiff's 8 (N, C) ones —
+    TPU scatter-add cost is per-row, so this saves ~4.6 ms/corner at
+    1024^2/B2 (DESIGN.md s10, measured).
+
+    Returns (outs_a, outs_b): per-level (B, H_l, W_l, Cout) lists.
+    """
+    c = feats_a[0].shape[-1]
+    shapes = tuple(f.shape[:3] for f in feats_a)
+    flat_a = jnp.concatenate([f.reshape(-1, c) for f in feats_a], axis=0)
+    flat_b = jnp.concatenate([f.reshape(-1, c) for f in feats_b], axis=0)
+    out_a, out_b = _pair_core(
+        kernel_size, shapes, flat_a, flat_b, tuple(offsets), weight_a,
+        weight_b,
+    )
+    return (
+        _split_levels(out_a, feats_a, weight_a.shape[-1]),
+        _split_levels(out_b, feats_b, weight_b.shape[-1]),
+    )
 
 
 def deform_conv2d(

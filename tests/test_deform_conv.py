@@ -10,6 +10,7 @@ zero-offset special case.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from orientedreppoints_tpu.ops.deform_conv import deform_conv2d, dcn_base_offset
@@ -134,3 +135,52 @@ def test_pyramid_matches_per_level(rng):
         np.testing.assert_allclose(
             np.asarray(got[lvl]), np.asarray(expect), rtol=1e-4, atol=1e-4,
             err_msg=f"level {lvl}")
+
+
+def test_pyramid_pair_forward_and_grads_match_autodiff(rng):
+    """deform_conv2d_pyramid_pair (combined-scatter custom VJP) must equal
+    autodiff of two independent deform_conv2d_pyramid instances sharing the
+    same offsets — forward outputs AND grads wrt both feature pyramids,
+    the shared offsets, and both weights (DESIGN.md s10)."""
+    from orientedreppoints_tpu.ops.deform_conv import (
+        deform_conv2d_pyramid, deform_conv2d_pyramid_pair,
+    )
+
+    b, cin, cout = 2, 4, 3
+    shapes = [(8, 9), (4, 5), (2, 3)]
+    feats_a = [jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
+               for h, w in shapes]
+    feats_b = [jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
+               for h, w in shapes]
+    offs = [jnp.asarray((rng.randn(b, h, w, 18) * 2).astype(np.float32))
+            for h, w in shapes]
+    w_a = jnp.asarray(rng.randn(9, cin, cout).astype(np.float32) * 0.2)
+    w_b = jnp.asarray(rng.randn(9, cin, cout).astype(np.float32) * 0.2)
+    # per-level cotangent-defining projections so every output matters
+    proj = [jnp.asarray(rng.randn(b, h, w, cout).astype(np.float32))
+            for h, w in shapes]
+
+    def loss_pair(fa, fb, off, wa, wb):
+        oa, ob = deform_conv2d_pyramid_pair(fa, fb, off, wa, wb)
+        return sum((o * p).sum() for o, p in zip(oa, proj)) + sum(
+            (o * p * 0.5).sum() for o, p in zip(ob, proj))
+
+    def loss_ref(fa, fb, off, wa, wb):
+        oa = deform_conv2d_pyramid(fa, off, wa)
+        ob = deform_conv2d_pyramid(fb, off, wb)
+        return sum((o * p).sum() for o, p in zip(oa, proj)) + sum(
+            (o * p * 0.5).sum() for o, p in zip(ob, proj))
+
+    args = (feats_a, feats_b, offs, w_a, w_b)
+    np.testing.assert_allclose(
+        float(loss_pair(*args)), float(loss_ref(*args)), rtol=1e-5)
+
+    g_pair = jax.grad(loss_pair, argnums=(0, 1, 2, 3, 4))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    for name, gp, gr in zip(
+            ("feats_a", "feats_b", "offsets", "w_a", "w_b"), g_pair, g_ref):
+        for i, (x, y) in enumerate(zip(
+                jax.tree.leaves(gp), jax.tree.leaves(gr))):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=2e-4, atol=2e-4,
+                err_msg=f"{name}[{i}]")

@@ -1,0 +1,562 @@
+"""Differential parity: execute the reference's own pure-Python modules.
+
+Unlike the rest of the suite (which re-derives semantics from SURVEY.md),
+these tests importlib-load the reference code at /root/reference — treated
+strictly as an UNTRUSTED TEST FIXTURE, loaded under import shims, never
+placed on the library path — run it under torch CPU on shared random
+fixtures, and assert our TPU-native implementations produce identical
+outputs.
+
+Covered reference surfaces:
+  * PointAssigner.assign            (core/bbox/assigners/point_assigner.py:22-133)
+  * sampling_points                 (anchor_heads/orientedreppoints_head.py:250-292)
+  * point_samples_selection         (anchor_heads/orientedreppoints_head.py:602-671)
+  * rbox2poly / poly2rbox / best-begin (core/bbox/transforms.py:401-509)
+  * CorrectBox / RotateResize       (datasets/pipelines/transforms.py:43-200)
+  * dota_evaluation_task1.voc_eval  (DOTA_devkit/dota_evaluation_task1.py:87)
+
+Shims (documented deliberate substitutions, not parity surfaces):
+  * mmcv.imrescale/imresize are re-implemented faithfully over cv2 (mmcv is
+    not installed); the parity surface is the reference's own poly scaling/
+    clamping code, which runs verbatim.
+  * the SWIG `polyiou` module is backed by our exact-polygon-IoU
+    implementation (devkit/polygon.py, itself cv2/shapely-validated), so
+    voc_eval parity exercises the reference's matching/AP logic.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import os
+import os.path as osp
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+cv2 = pytest.importorskip("cv2")
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not osp.isdir(REF), reason="reference checkout not mounted"
+)
+
+
+def _load(fullname: str, path: str):
+    spec = importlib.util.spec_from_file_location(fullname, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[fullname] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _pkg(fullname: str, path: str | None = None):
+    mod = types.ModuleType(fullname)
+    mod.__path__ = [path] if path else []
+    sys.modules[fullname] = mod
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_point_assigner():
+    """Load the reference PointAssigner with its real AssignResult."""
+    saved = dict(sys.modules)
+    saved_cuda = torch.Tensor.cuda
+    try:
+        # assign_result.py:45 calls .cuda() unconditionally; run it on CPU
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        # assign_result.py needs mmdet.utils.util_mixins.NiceRepr
+        _pkg("mmdet", None)
+        utils = _pkg("mmdet.utils", None)
+        um = types.ModuleType("mmdet.utils.util_mixins")
+        um.NiceRepr = object
+        sys.modules["mmdet.utils.util_mixins"] = um
+        utils.util_mixins = um
+
+        base = osp.join(REF, "mmdet/core/bbox/assigners")
+        _pkg("refassign", base)
+        _load("refassign.assign_result", osp.join(base, "assign_result.py"))
+        _load("refassign.base_assigner", osp.join(base, "base_assigner.py"))
+        mod = _load("refassign.point_assigner",
+                    osp.join(base, "point_assigner.py"))
+        yield mod
+    finally:
+        torch.Tensor.cuda = saved_cuda
+        sys.modules.clear()
+        sys.modules.update(saved)
+
+
+@pytest.fixture(scope="module")
+def ref_head():
+    """Load the reference head module with stubbed heavy deps; only the
+    pure-torch methods (sampling_points / point_samples_selection) are
+    exercised, via an unbound call on a namespace standing in for self."""
+    saved = dict(sys.modules)
+    try:
+        def stub(name, **attrs):
+            m = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            sys.modules[name] = m
+            return m
+
+        class _Any:
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, *a, **k):
+                return None
+
+        stub("mmcv")
+        stub("mmcv.cnn", normal_init=_Any(), constant_init=_Any())
+        core = stub(
+            "mmdet.core", PointGenerator=_Any, multi_apply=_Any(),
+            multiclass_rnms=_Any(), levels_to_images=_Any(),
+        )
+        stub("mmdet", core=core)
+        stub("mmdet.ops", ConvModule=_Any, DeformConv=_Any)
+        stub("mmdet.core.bbox", init_pointset_target=_Any(),
+             refine_pointset_target=_Any())
+        stub("mmdet.ops.minarearect", minaerarect=_Any())
+        stub("mmdet.ops.chamfer_distance", ChamferDistance2D=_Any)
+
+        # the head does `from ..builder import build_loss` etc. — fake the
+        # package chain refmodels.anchor_heads.<module>
+        _pkg("refmodels", None)
+        stub("refmodels.builder", build_loss=_Any())
+
+        class _Registry:
+            def register_module(self, cls):
+                return cls
+
+        stub("refmodels.registry", HEADS=_Registry())
+        stub("refmodels.utils",
+             bias_init_with_prob=lambda p: float(-np.log((1 - p) / p)))
+        _pkg("refmodels.anchor_heads",
+             osp.join(REF, "mmdet/models/anchor_heads"))
+        mod = _load(
+            "refmodels.anchor_heads.orientedreppoints_head",
+            osp.join(REF, "mmdet/models/anchor_heads/"
+                          "orientedreppoints_head.py"),
+        )
+        yield mod
+    finally:
+        sys.modules.clear()
+        sys.modules.update(saved)
+
+
+def _grid_points(img, strides):
+    """(N, 3) multi-level (x, y, stride) rows + per-level counts."""
+    from orientedreppoints_tpu.core import points as P
+    import jax.numpy as jnp
+
+    pts = [np.asarray(P.grid_points(img // s, img // s, s))
+           for s in strides]
+    counts = [p.shape[0] for p in pts]
+    return np.concatenate(pts, axis=0), counts
+
+
+def _random_gts(rng, g, img):
+    polys = np.zeros((g, 8), np.float32)
+    for j in range(g):
+        cx, cy = rng.rand(2) * (img * 0.8) + img * 0.1
+        w, h = rng.rand(2) * (img * 0.4) + 6
+        a = rng.rand() * np.pi
+        c, s = np.cos(a), np.sin(a)
+        r = np.array([[-w / 2, -h / 2], [w / 2, -h / 2],
+                      [w / 2, h / 2], [-w / 2, h / 2]])
+        polys[j] = ((r @ [[c, s], [-s, c]]) + [cx, cy]).reshape(-1)
+    return polys
+
+
+class TestPointAssignerParity:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("pos_num", [1, 2])
+    def test_assign_matches_reference(self, ref_point_assigner, seed,
+                                      pos_num):
+        import jax.numpy as jnp
+        from orientedreppoints_tpu.core.assigners import point_assign
+
+        rng = np.random.RandomState(seed)
+        img, strides = 256, [8, 16, 32, 64, 128]
+        points, _ = _grid_points(img, strides)
+        gts = _random_gts(rng, 9, img)
+
+        ref = ref_point_assigner.PointAssigner(scale=4, pos_num=pos_num)
+        res = ref.assign(torch.from_numpy(points),
+                         torch.from_numpy(gts))
+        want = res.gt_inds.numpy()
+
+        got = np.asarray(point_assign(
+            jnp.asarray(points), jnp.ones((points.shape[0],), bool),
+            jnp.asarray(gts), jnp.ones((gts.shape[0],), bool),
+            scale=4.0, pos_num=pos_num,
+        ))
+        np.testing.assert_array_equal(got, want)
+
+
+class TestSamplingPointsParity:
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_edge_points_match(self, ref_head, seed):
+        import jax.numpy as jnp
+        from orientedreppoints_tpu.core.apaa import sample_edge_points
+
+        rng = np.random.RandomState(seed)
+        quads = _random_gts(rng, 16, 512)
+        ns = types.SimpleNamespace()
+        want = ref_head.OrientedRepPointsHead.sampling_points(
+            ns, torch.from_numpy(quads), 10
+        ).numpy()  # (N, 40, 2)
+        got = np.asarray(sample_edge_points(jnp.asarray(quads),
+                                            points_per_edge=10))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+class TestSampleSelectionParity:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_selection_matches_reference(self, ref_head, seed):
+        import jax.numpy as jnp
+        from orientedreppoints_tpu.core.apaa import (
+            compact_positives, sample_selection,
+        )
+
+        rng = np.random.RandomState(seed)
+        strides = [8, 16, 32, 64, 128]
+        img = 256
+        counts = [(img // s) ** 2 for s in strides]
+        n = sum(counts)
+        num_gt = 5
+
+        # random sparse positive assignment over the point grid
+        gt_inds = np.zeros((n,), np.int64)
+        n_pos = rng.randint(20, 60)
+        pos_idx = rng.choice(n, size=n_pos, replace=False)
+        gt_inds[pos_idx] = rng.randint(1, num_gt + 1, size=n_pos)
+        quality_full = rng.rand(n).astype(np.float32) * 5
+
+        pos_inds = np.nonzero(gt_inds)[0]
+        pos_gt_inds = gt_inds[pos_inds]
+        label = np.zeros((n,), np.int64)
+        label[pos_inds] = rng.randint(1, 16, size=len(pos_inds))
+        label_weight = np.ones((n,), np.float32)
+        rbox_weight = np.zeros((n,), np.float32)
+        rbox_weight[pos_inds] = 1.0
+
+        ns = types.SimpleNamespace(
+            top_ratio=0.4, point_base_scale=2, point_strides=strides
+        )
+        (r_label, r_label_w, r_rbox_w, r_num_pos,
+         r_norm) = ref_head.OrientedRepPointsHead.point_samples_selection(
+            ns,
+            torch.from_numpy(quality_full[pos_inds]).float(),
+            torch.from_numpy(label.copy()),
+            torch.from_numpy(label_weight.copy()),
+            torch.from_numpy(rbox_weight.copy()),
+            torch.from_numpy(pos_inds),
+            torch.from_numpy(pos_gt_inds),
+            num_proposals_each_level=list(counts),
+            num_level=len(strides),
+        )
+        kept_ref = pos_inds[np.isin(pos_inds,
+                                    pos_inds[r_rbox_w[pos_inds] > 0])]
+        kept_ref = np.sort(pos_inds[(r_rbox_w.numpy()[pos_inds] > 0)])
+        norm_ref = {}
+        # reference returns pos_normalize_term aligned with its (per-gt
+        # concatenated) pos_inds_after_select; recover the kept order
+        # independently to build the ind->norm mapping
+        sel = np.sort(kept_ref)
+        level_of = np.concatenate(
+            [np.full((c,), li) for li, c in enumerate(counts)])
+        for i in sel:
+            norm_ref[int(i)] = 2 * strides[level_of[i]]
+
+        # ours: fixed-capacity candidates + keep mask
+        level_ids = jnp.asarray(level_of)
+        cand = compact_positives(jnp.asarray(gt_inds), level_ids,
+                                 max_pos=128)
+        cand_np = np.asarray(cand.idx)
+        q_cand = jnp.asarray(quality_full[cand_np])
+        keep = np.asarray(sample_selection(
+            cand, q_cand, num_gt, len(strides),
+            per_level_topk=6, top_ratio=0.4,
+        ))
+        kept_ours = np.sort(cand_np[keep])
+
+        np.testing.assert_array_equal(kept_ours, kept_ref)
+        assert int(r_num_pos) == len(kept_ours)
+        # demoted positives: label zeroed, rbox weight zeroed, label
+        # weight NOT zeroed (ignore set always empty — head :651-656)
+        demoted = np.setdiff1d(pos_inds, kept_ref)
+        assert (r_label.numpy()[demoted] == 0).all()
+        assert (r_label_w.numpy()[demoted] == 1).all()
+        # normalize term parity (per kept positive)
+        norm_ours = {
+            int(g): float(2 * strides[int(l)])
+            for g, l, k in zip(cand_np, np.asarray(cand.level), keep) if k
+        }
+        r_norm = r_norm.numpy()
+        assert len(r_norm) == len(kept_ref)
+        # reference terms are per kept ind (per-gt order); compare as
+        # multisets keyed by ind via the independent level mapping
+        assert norm_ours == norm_ref
+
+
+class TestRboxTransformParity:
+    def _load_transforms(self):
+        saved = dict(sys.modules)
+        sys.modules["mmcv"] = types.ModuleType("mmcv")
+        try:
+            return _load("reftransforms",
+                         osp.join(REF, "mmdet/core/bbox/transforms.py")), saved
+        except BaseException:
+            sys.modules.clear()
+            sys.modules.update(saved)
+            raise
+
+    def test_rbox2poly_poly2rbox_best_begin(self):
+        mod, saved = self._load_transforms()
+        # the reference uses the long-removed np.float alias
+        # (transforms.py:452 etc.) — restore it for the duration
+        had_float = hasattr(np, "float")
+        if not had_float:
+            np.float = float  # noqa: NPY001
+        try:
+            from orientedreppoints_tpu.core.rbox import (
+                get_best_begin_point, poly2rbox, rbox2poly,
+            )
+
+            rng = np.random.RandomState(0)
+            # rboxes: x, y, w, h, angle in [-pi/4, 3pi/4)
+            n = 64
+            rb = np.stack([
+                rng.rand(n) * 800 + 100,
+                rng.rand(n) * 800 + 100,
+                rng.rand(n) * 120 + 30,
+                rng.rand(n) * 60 + 10,
+                rng.rand(n) * np.pi - np.pi / 4,
+            ], axis=1).astype(np.float64)
+
+            want_poly = np.asarray(mod.rbox2poly(rb))
+            got_poly = rbox2poly(rb)
+            np.testing.assert_allclose(got_poly, want_poly, rtol=1e-6,
+                                       atol=1e-3)
+
+            polys = _random_gts(rng, 64, 1024).astype(np.float64)
+            want_rb = np.asarray(mod.poly2rbox(polys))
+            got_rb = poly2rbox(polys)
+            np.testing.assert_allclose(got_rb, want_rb, rtol=1e-5,
+                                       atol=1e-3)
+
+            want_bb = np.asarray(mod.get_best_begin_point(polys))
+            got_bb = get_best_begin_point(polys)
+            np.testing.assert_allclose(got_bb, want_bb, rtol=1e-6,
+                                       atol=1e-3)
+        finally:
+            if not had_float:
+                del np.float
+            sys.modules.clear()
+            sys.modules.update(saved)
+
+
+def _mmcv_shim():
+    """Minimal faithful mmcv image API over cv2 (mmcv.imrescale semantics:
+    scale_factor = min(max_long/long, max_short/short); sizes rounded via
+    int(x * f + 0.5))."""
+    m = types.ModuleType("mmcv")
+
+    def is_list_of(seq, typ):
+        return isinstance(seq, list) and all(
+            isinstance(s, typ) for s in seq)
+
+    def imresize(img, size, return_scale=False):
+        h, w = img.shape[:2]
+        out = cv2.resize(img, size, interpolation=cv2.INTER_LINEAR)
+        if not return_scale:
+            return out
+        return out, size[0] / w, size[1] / h
+
+    def _scale_size(size, f):
+        w, h = size
+        return int(w * f + 0.5), int(h * f + 0.5)
+
+    def imrescale(img, scale, return_scale=False):
+        h, w = img.shape[:2]
+        if isinstance(scale, (float, int)):
+            f = scale
+        else:
+            max_long, max_short = max(scale), min(scale)
+            f = min(max_long / max(h, w), max_short / min(h, w))
+        new_size = _scale_size((w, h), f)
+        out = cv2.resize(img, new_size, interpolation=cv2.INTER_LINEAR)
+        if not return_scale:
+            return out
+        return out, f
+
+    m.is_list_of = is_list_of
+    m.imresize = imresize
+    m.imrescale = imrescale
+    return m
+
+
+@pytest.fixture(scope="module")
+def ref_pipelines():
+    saved = dict(sys.modules)
+    try:
+        sys.modules["mmcv"] = _mmcv_shim()
+        _pkg("mmdet", None)
+        _pkg("mmdet.core", None)
+        _pkg("mmdet.core.evaluation", None)
+        bo = types.ModuleType("mmdet.core.evaluation.bbox_overlaps")
+        bo.bbox_overlaps = lambda *a, **k: None
+        sys.modules["mmdet.core.evaluation.bbox_overlaps"] = bo
+        sys.modules["mmdet.core.evaluation"].bbox_overlaps = bo.bbox_overlaps
+
+        _pkg("refpipe", None)
+
+        class _Registry:
+            # the reference uses both @register_module and
+            # @register_module() decorator forms
+            def register_module(self, cls=None):
+                if cls is None:
+                    return lambda c: c
+                return cls
+
+        reg = types.ModuleType("refpipe.registry")
+        reg.PIPELINES = _Registry()
+        sys.modules["refpipe.registry"] = reg
+        _pkg("refpipe.pipelines", osp.join(REF, "mmdet/datasets/pipelines"))
+        mod = _load("refpipe.pipelines.transforms",
+                    osp.join(REF, "mmdet/datasets/pipelines/transforms.py"))
+        yield mod
+    finally:
+        sys.modules.clear()
+        sys.modules.update(saved)
+
+
+class TestPipelineParity:
+    def test_correct_box(self, ref_pipelines):
+        from orientedreppoints_tpu.data.pipelines import CorrectBox
+
+        rng = np.random.RandomState(1)
+        polys = _random_gts(rng, 24, 512).astype(np.float32)
+        ref = ref_pipelines.CorrectBox(correct_rbbox=True, refine_rbbox=True)
+        want = ref({"gt_bboxes": polys.copy()})["gt_bboxes"]
+        ours = CorrectBox(correct_rbbox=True, refine_rbbox=True)
+        got = ours({"gt_bboxes": polys.copy()})["gt_bboxes"]
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_rotate_resize_fixed_scale(self, ref_pipelines):
+        from orientedreppoints_tpu.data.pipelines import RotateResize
+
+        rng = np.random.RandomState(2)
+        img = (rng.rand(200, 300, 3) * 255).astype(np.uint8)
+        polys = _random_gts(rng, 12, 200).astype(np.float32)
+
+        def mk():
+            return {
+                "img": img.copy(),
+                "img_shape": img.shape,
+                "gt_bboxes": polys.copy(),
+                "bbox_fields": ["gt_bboxes"],
+            }
+
+        ref = ref_pipelines.RotateResize(
+            img_scale=[(512, 384)], keep_ratio=True, clamp_rbbox=True)
+        want = ref(mk())
+        ours = RotateResize(
+            img_scale=(512, 384), keep_ratio=True, clamp_rbbox=True)
+        got = ours(mk())
+        assert got["img"].shape == want["img"].shape
+        np.testing.assert_allclose(
+            np.asarray(got["scale_factor"], np.float64).ravel()[0],
+            np.asarray(want["scale_factor"], np.float64).ravel()[0],
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(got["gt_bboxes"], want["gt_bboxes"],
+                                   rtol=1e-5, atol=1e-3)
+        np.testing.assert_array_equal(got["img"], want["img"])
+
+
+@pytest.fixture(scope="module")
+def ref_voc_eval():
+    saved = dict(sys.modules)
+    try:
+        from orientedreppoints_tpu.devkit.polygon import poly_iou
+
+        pio = types.ModuleType("polyiou")
+        pio.VectorDouble = lambda x: np.asarray(x, np.float64)
+        pio.iou_poly = lambda a, b: float(poly_iou(np.asarray(a),
+                                                   np.asarray(b)))
+        sys.modules["polyiou"] = pio
+        mod = _load("refeval",
+                    osp.join(REF, "DOTA_devkit/dota_evaluation_task1.py"))
+        yield mod
+    finally:
+        sys.modules.clear()
+        sys.modules.update(saved)
+
+
+class TestVocEvalParity:
+    def _make_dataset(self, tmp_path, rng):
+        """Synthetic 2-class detections+annotations over 4 images."""
+        classes = ["plane", "ship"]
+        images = [f"P{i:04d}" for i in range(4)]
+        ann_dir = tmp_path / "anno"
+        det_dir = tmp_path / "det"
+        ann_dir.mkdir()
+        det_dir.mkdir()
+        gt_store = {}
+        for name in images:
+            lines = []
+            polys = _random_gts(rng, 6, 800)
+            for j, p in enumerate(polys):
+                cls = classes[j % 2]
+                diff = 1 if j == 5 else 0
+                lines.append(" ".join(f"{v:.1f}" for v in p)
+                             + f" {cls} {diff}")
+                gt_store.setdefault((name, cls), []).append(p)
+            (ann_dir / f"{name}.txt").write_text("\n".join(lines) + "\n")
+        for cls in classes:
+            lines = []
+            for name in images:
+                for p in gt_store.get((name, cls), []):
+                    # jittered detection + random score
+                    q = p + rng.randn(8) * 6
+                    sc = rng.rand() * 0.9 + 0.05
+                    lines.append(
+                        f"{name} {sc:.4f} "
+                        + " ".join(f"{v:.2f}" for v in q))
+                # a false positive
+                fp = _random_gts(rng, 1, 800)[0]
+                lines.append(f"{name} {rng.rand():.4f} "
+                             + " ".join(f"{v:.2f}" for v in fp))
+            (det_dir / f"Task1_{cls}.txt").write_text(
+                "\n".join(lines) + "\n")
+        (tmp_path / "images.txt").write_text(
+            "\n".join(images) + "\n")
+        return classes, images, str(ann_dir), str(det_dir)
+
+    def test_voc_eval_matches_reference(self, ref_voc_eval, tmp_path):
+        from orientedreppoints_tpu.devkit.evaluation import voc_eval_poly
+
+        rng = np.random.RandomState(7)
+        classes, images, ann_dir, det_dir = self._make_dataset(
+            tmp_path, rng)
+        detpath = osp.join(det_dir, "Task1_{:s}.txt")
+        annopath = osp.join(ann_dir, "{:s}.txt")
+        imagesetfile = str(tmp_path / "images.txt")
+
+        for cls in classes:
+            rec_r, prec_r, ap_r = ref_voc_eval.voc_eval(
+                detpath, annopath, imagesetfile, cls,
+                ovthresh=0.5, use_07_metric=False)
+            rec_o, prec_o, ap_o = voc_eval_poly(
+                detpath, annopath, images, cls,
+                ovthresh=0.5, use_07_metric=False)
+            assert abs(ap_o - ap_r) < 1e-9, (cls, ap_o, ap_r)
+            np.testing.assert_allclose(rec_o, rec_r, atol=1e-12)
+            np.testing.assert_allclose(prec_o, prec_r, atol=1e-12)
