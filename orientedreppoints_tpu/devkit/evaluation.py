@@ -257,8 +257,16 @@ UCAS_AOD_CLASSES = ("car", "airplane")
 
 
 def eval_ucasaod(detpath, annopath, imagesetfile_or_names,
-                 ovthresh: float = 0.5, use_07_metric: bool = True):
-    """UCAS-AOD oriented mAP (DOTA_devkit/ucasaod_evaluation.py pattern)."""
+                 ovthresh: float = 0.7, use_07_metric: bool = True):
+    """UCAS-AOD oriented mAP.
+
+    The reference's ucasaod_evaluation.py voc_eval is line-identical to the
+    DOTA Task1 evaluator (only debug comments differ); the dataset-specific
+    surface is its main(): classes car/airplane, IoU threshold **0.7**, and
+    the VOC-07 11-point metric (ucasaod_evaluation.py:268-291).  Verified
+    by executing the reference file itself in
+    tests/test_reference_parity.py::TestUcasAodEvalParity.
+    """
     return eval_dota_task1(
         detpath, annopath, imagesetfile_or_names,
         classnames=UCAS_AOD_CLASSES, ovthresh=ovthresh,

@@ -58,6 +58,17 @@ class OrientedRepPointsDetector(nn.Module):
             feats = SwinTransformer(dtype=self.dtype, name="backbone",
                                     **kw)(images, deterministic)
             start, extra = 0, False
+        elif self.backbone_type == "ssd_vgg":
+            # SSD-VGG @512 emits l2norm(relu4_3)/conv7/extras at strides
+            # 8/16/32/64/128 in its first num_levels maps — a direct match
+            # for the head's point_strides; FPN runs over them with no
+            # extra levels (reference ssd_vgg.py:55-153 registry-usable
+            # backbone, paired here with the oriented path)
+            from .ssd_vgg import SSDVGG
+
+            feats = SSDVGG(dtype=self.dtype, name="backbone",
+                           max_outs=self.num_levels, **kw)(images)
+            start, extra = 0, False
         elif self.backbone_type == "hrnet":
             # hrnet emits strides 4/8/16/32 like C2..C5; same FPN wiring
             # as resnet (reference mmdet pairs HRNet with HRFPN, but plain

@@ -72,6 +72,7 @@ class SSDVGG(nn.Module):
     input_size: int = 300
     depth: int = 16
     l2_norm_scale: float = 20.0
+    max_outs: int | None = None  # stop building extras past this many maps
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -115,6 +116,8 @@ class SSDVGG(nn.Module):
         num = 0
         stride2 = False
         for e in setting:
+            if self.max_outs is not None and len(outs) >= self.max_outs:
+                return tuple(outs)
             if e == "S":
                 stride2 = True
                 continue

@@ -124,7 +124,12 @@ class SwinBlock(nn.Module):
         hp = int(np.ceil(h / ws)) * ws
         wp = int(np.ceil(w / ws)) * ws
         y = jnp.pad(y, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
-        shift = self.shift if min(hp, wp) > ws else 0
+        # the reference detection Swin shifts UNCONDITIONALLY when
+        # shift_size > 0 (swin_transformer.py:223-243) — including the
+        # window==resolution case, where the region mask partitions the
+        # single window into 9 sub-regions (NOT equivalent to no-shift);
+        # verified by the stage-3 feature parity test
+        shift = self.shift
         if shift:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
             mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift))

@@ -16,7 +16,8 @@ from ..models import OrientedRepPointsDetector
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 _BACKBONES = {"ResNet": "resnet", "ResNeXt": "resnet",
-              "SwinTransformer": "swin", "HRNet": "hrnet"}
+              "SwinTransformer": "swin", "HRNet": "hrnet",
+              "SSDVGG": "ssd_vgg"}
 _DATASETS = {"DotaDataset": DotaDataset, "HrscDataset": HrscDataset}
 
 
@@ -39,6 +40,11 @@ def build_detector(cfg, compute_dtype: str = "bfloat16"):
         }
     if bb_type == "hrnet":
         kwargs = {k: v for k, v in bb.items() if k in ("extra",)}
+    if bb_type == "ssd_vgg":
+        kwargs = {
+            k: v for k, v in bb.items()
+            if k in ("input_size", "depth", "l2_norm_scale")
+        }
     head = m["bbox_head"]
     head_kwargs = {
         k: head[k]

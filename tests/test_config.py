@@ -13,6 +13,7 @@ CONFIGS = [
     "configs/dota/orientedreppoints_r101_demo.py",
     "configs/dota/orientedreppoints_swin_tiny_demo.py",
     "configs/dota/orientedreppoints_hrnet_w32_demo.py",
+    "configs/dota/orientedreppoints_ssd_vgg16_demo.py",
 ]
 
 
@@ -40,6 +41,18 @@ class TestConfigs:
         variables = model.init(jax.random.PRNGKey(0), imgs)
         outs = model.apply(variables, imgs)
         assert outs["cls_scores"][0].shape == (1, 16, 16, 15)
+
+    def test_ssd_vgg_forward_from_config(self):
+        """SSD-VGG is reachable end-to-end from its config (VERDICT r2 #7):
+        builder -> detector -> 5 pyramid levels at strides 8..128."""
+        cfg = Config.fromfile(CONFIGS[4])
+        model = builder.build_detector(cfg, compute_dtype="float32")
+        imgs = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), imgs)
+        outs = model.apply(variables, imgs)
+        assert len(outs["cls_scores"]) == 5
+        assert outs["cls_scores"][0].shape == (1, 16, 16, 15)
+        assert outs["cls_scores"][4].shape == (1, 1, 1, 15)
 
     def test_merge_from_dict(self):
         cfg = Config.fromfile(CONFIGS[0])

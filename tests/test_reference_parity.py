@@ -560,3 +560,287 @@ class TestVocEvalParity:
             assert abs(ap_o - ap_r) < 1e-9, (cls, ap_o, ap_r)
             np.testing.assert_allclose(rec_o, rec_r, atol=1e-12)
             np.testing.assert_allclose(prec_o, prec_r, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Backbone feature-map parity: run the reference's own backbone modules
+# (torch CPU) with random weights, convert those exact weights through
+# utils/checkpoint.py, and assert our NHWC feature maps match per stage.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_resnet():
+    saved = dict(sys.modules)
+    try:
+        import torch.nn as nn
+
+        def stub(name, **attrs):
+            m = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            sys.modules[name] = m
+            return m
+
+        def build_norm_layer(cfg, num_features, postfix=""):
+            # faithful minimal mmdet.ops.build_norm_layer for type=BN
+            assert cfg["type"] == "BN"
+            return f"bn{postfix}", nn.BatchNorm2d(num_features)
+
+        def build_conv_layer(cfg, *args, **kwargs):
+            assert cfg is None
+            return nn.Conv2d(*args, **kwargs)
+
+        stub("mmcv")
+        stub("mmcv.cnn", constant_init=lambda *a, **k: None,
+             kaiming_init=lambda *a, **k: None)
+        stub("mmcv.runner", load_checkpoint=lambda *a, **k: None)
+        stub("mmdet")
+        stub("mmdet.ops", ContextBlock=object, GeneralizedAttention=object,
+             build_conv_layer=build_conv_layer,
+             build_norm_layer=build_norm_layer)
+        import logging
+        stub("mmdet.utils", get_root_logger=lambda: logging.getLogger("t"))
+        _pkg("refbackbones", None)
+
+        class _Registry:
+            def register_module(self, cls=None):
+                if cls is None:
+                    return lambda c: c
+                return cls
+
+        stub("refbackbones.registry", BACKBONES=_Registry())
+        _pkg("refbackbones.models",
+             osp.join(REF, "mmdet/models/backbones"))
+        sys.modules["refbackbones.models"].registry = sys.modules[
+            "refbackbones.registry"]
+        # resnet.py does `from ..registry import BACKBONES` relative to
+        # refbackbones.models.<mod>; alias the registry there
+        sys.modules["refbackbones.registry"].__name__ = (
+            "refbackbones.registry")
+        mod = _load("refbackbones.models.resnet",
+                    osp.join(REF, "mmdet/models/backbones/resnet.py"))
+        yield mod
+    finally:
+        sys.modules.clear()
+        sys.modules.update(saved)
+
+
+def _randomize_state_dict(net, rng):
+    sd = net.state_dict()
+    for k, v in sd.items():
+        if v.dtype.is_floating_point:
+            if "running_var" in k or k.endswith("weight") and v.ndim == 1:
+                sd[k] = torch.from_numpy(
+                    (rng.rand(*v.shape) * 0.8 + 0.4).astype(np.float32))
+            else:
+                sd[k] = torch.from_numpy(
+                    (rng.randn(*v.shape) * 0.05).astype(np.float32))
+    net.load_state_dict(sd)
+    return {k: np.asarray(v) for k, v in sd.items()}
+
+
+class TestResNetFeatureParity:
+    def test_r50_stage_outputs_match(self, ref_resnet):
+        import jax
+        import jax.numpy as jnp
+        from orientedreppoints_tpu.models import ResNet
+        from orientedreppoints_tpu.utils.checkpoint import (
+            convert_torchvision_resnet,
+        )
+
+        rng = np.random.RandomState(0)
+        net = ref_resnet.ResNet(
+            depth=50, num_stages=4, out_indices=(0, 1, 2, 3),
+            frozen_stages=-1, style="pytorch",
+        )
+        sd = _randomize_state_dict(net, rng)
+        net.eval()
+        x = rng.rand(1, 3, 96, 96).astype(np.float32)
+        with torch.no_grad():
+            want = [o.numpy() for o in net(torch.from_numpy(x))]
+
+        params, stats = convert_torchvision_resnet(sd, 50)
+        model = ResNet(depth=50)
+        got = jax.jit(model.apply)(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(x.transpose(0, 2, 3, 1)),
+        )
+        assert len(got) == len(want) == 4
+        for i, (g, w) in enumerate(zip(got, want)):
+            np.testing.assert_allclose(
+                np.asarray(g), w.transpose(0, 2, 3, 1),
+                rtol=1e-4, atol=1e-4, err_msg=f"stage {i}")
+
+
+@pytest.fixture(scope="module")
+def ref_swin():
+    saved = dict(sys.modules)
+    try:
+        import torch.nn as nn
+
+        def stub(name, **attrs):
+            m = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            sys.modules[name] = m
+            return m
+
+        class DropPath(nn.Module):
+            # timm DropPath; parity tests run in eval mode -> identity
+            def __init__(self, drop_prob=None):
+                super().__init__()
+                self.drop_prob = drop_prob
+
+            def forward(self, x):
+                if not self.training or not self.drop_prob:
+                    return x
+                keep = 1 - self.drop_prob
+                shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+                mask = x.new_empty(shape).bernoulli_(keep)
+                return x / keep * mask
+
+        stub("timm")
+        stub("timm.models")
+        stub("timm.models.layers", DropPath=DropPath,
+             to_2tuple=lambda v: v if isinstance(v, tuple) else (v, v),
+             trunc_normal_=torch.nn.init.trunc_normal_)
+        stub("mmcv_custom", load_checkpoint=lambda *a, **k: None)
+        import logging
+        stub("mmdet")
+        stub("mmdet.utils", get_root_logger=lambda: logging.getLogger("t"))
+        _pkg("refswin", None)
+
+        class _Registry:
+            def register_module(self, cls=None):
+                if cls is None:
+                    return lambda c: c
+                return cls
+
+        stub("refswin.registry", BACKBONES=_Registry())
+        _pkg("refswin.models", osp.join(REF, "mmdet/models/backbones"))
+        mod = _load("refswin.models.swin_transformer",
+                    osp.join(REF, "mmdet/models/backbones/"
+                                  "swin_transformer.py"))
+        yield mod
+    finally:
+        sys.modules.clear()
+        sys.modules.update(saved)
+
+
+class TestSwinFeatureParity:
+    def test_swin_tiny_stage_outputs_match(self, ref_swin):
+        import jax
+        import jax.numpy as jnp
+        from orientedreppoints_tpu.models.swin import SwinTransformer
+        from orientedreppoints_tpu.utils.checkpoint import convert_swin_tiny
+
+        rng = np.random.RandomState(1)
+        net = ref_swin.SwinTransformer(
+            embed_dim=96, depths=[2, 2, 6, 2], num_heads=[3, 6, 12, 24],
+            window_size=7, ape=False, drop_path_rate=0.0,
+            out_indices=(1, 2, 3), frozen_stages=-1,
+        )
+        sd = net.state_dict()
+        for k, v in sd.items():
+            if not v.dtype.is_floating_point:
+                continue  # relative_position_index etc.
+            if "relative_position_bias_table" in k:
+                sd[k] = torch.from_numpy(
+                    (rng.randn(*v.shape) * 0.05).astype(np.float32))
+            elif k.endswith("weight") and v.ndim == 1:  # LN scales
+                sd[k] = torch.from_numpy(
+                    (rng.rand(*v.shape) * 0.6 + 0.7).astype(np.float32))
+            else:
+                sd[k] = torch.from_numpy(
+                    (rng.randn(*v.shape) * 0.04).astype(np.float32))
+        net.load_state_dict(sd)
+        net.eval()
+        x = rng.rand(1, 3, 224, 224).astype(np.float32)
+        with torch.no_grad():
+            want = [o.numpy() for o in net(torch.from_numpy(x))]
+
+        params = convert_swin_tiny(
+            {k: np.asarray(v) for k, v in sd.items()})
+        model = SwinTransformer()
+        got = jax.jit(lambda p, a: model.apply(p, a, deterministic=True))(
+            {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+        assert len(got) == len(want) == 3
+        for i, (g, w) in enumerate(zip(got, want)):
+            np.testing.assert_allclose(
+                np.asarray(g), w.transpose(0, 2, 3, 1),
+                rtol=2e-3, atol=2e-3, err_msg=f"stage {i}")
+
+
+@pytest.fixture(scope="module")
+def ref_ucas_eval():
+    saved = dict(sys.modules)
+    try:
+        from orientedreppoints_tpu.devkit.polygon import poly_iou
+
+        pio = types.ModuleType("polyiou")
+        pio.VectorDouble = lambda x: np.asarray(x, np.float64)
+        pio.iou_poly = lambda a, b: float(poly_iou(np.asarray(a),
+                                                   np.asarray(b)))
+        sys.modules["polyiou"] = pio
+        had_bool = hasattr(np, "bool")
+        if not had_bool:
+            np.bool = bool  # removed alias used at ucasaod_evaluation.py:151
+        try:
+            mod = _load("refucas",
+                        osp.join(REF, "DOTA_devkit/ucasaod_evaluation.py"))
+            yield mod
+        finally:
+            if not had_bool:
+                del np.bool
+    finally:
+        sys.modules.clear()
+        sys.modules.update(saved)
+
+
+class TestUcasAodEvalParity:
+    def test_eval_matches_reference(self, ref_ucas_eval, tmp_path):
+        """Run the reference's own ucasaod_evaluation.voc_eval (car/airplane,
+        IoU 0.7, VOC-07 as in its main()) against our eval_ucasaod on a
+        synthetic UCAS-AOD-format dataset."""
+        from orientedreppoints_tpu.devkit.evaluation import eval_ucasaod
+
+        rng = np.random.RandomState(11)
+        classes = ["car", "airplane"]
+        images = [f"U{i:04d}" for i in range(3)]
+        ann_dir = tmp_path / "anno"
+        det_dir = tmp_path / "det"
+        ann_dir.mkdir()
+        det_dir.mkdir()
+        store = {}
+        for name in images:
+            lines = []
+            polys = _random_gts(rng, 6, 600)
+            for j, p in enumerate(polys):
+                cls = classes[j % 2]
+                lines.append(" ".join(f"{v:.1f}" for v in p) + f" {cls} 0")
+                store.setdefault((name, cls), []).append(p)
+            (ann_dir / f"{name}.txt").write_text("\n".join(lines) + "\n")
+        for cls in classes:
+            lines = []
+            for name in images:
+                for p in store.get((name, cls), []):
+                    q = p + rng.randn(8) * 4
+                    lines.append(f"{name} {rng.rand():.4f} "
+                                 + " ".join(f"{v:.2f}" for v in q))
+            (det_dir / f"Task1_{cls}.txt").write_text(
+                "\n".join(lines) + "\n")
+        (tmp_path / "images.txt").write_text("\n".join(images) + "\n")
+
+        detpath = osp.join(str(det_dir), "Task1_{:s}.txt")
+        annopath = osp.join(str(ann_dir), "{:s}.txt")
+        want = {}
+        for cls in classes:
+            _, _, ap = ref_ucas_eval.voc_eval(
+                detpath, annopath, str(tmp_path / "images.txt"), cls,
+                ovthresh=0.7, use_07_metric=True)
+            want[cls] = ap
+        mAP, aps = eval_ucasaod(detpath, annopath, images)
+        for cls in classes:
+            assert abs(aps[cls] - want[cls]) < 1e-12, (cls, aps, want)
+        assert abs(mAP - np.mean(list(want.values()))) < 1e-12
