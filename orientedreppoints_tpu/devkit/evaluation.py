@@ -6,8 +6,9 @@ Reference parity:
     handling, greedy per-detection matching in confidence order; the
     published numbers use the VOC-07 11-point metric (main :250);
   * Task2 (dota_evaluation_task2.py): same with axis-aligned IoU;
-  * mAOE (mAOE_evaluation.py:48-171): for TPs at IoU > 0.5, angle error =
-    |theta_pred - theta_gt| * 57.32 deg with the longest-edge angle
+  * mAOE (mAOE_evaluation.py:48-171): for every detection matching a gt
+    above the IoU threshold (its main() uses 0.7), angle error =
+    |theta_pred - theta_gt| * 57.32 deg in the square-aware v3 angle
     convention (poly2rbox_single_v3), averaged per class then overall.
 """
 
@@ -17,7 +18,7 @@ import os.path as osp
 
 import numpy as np
 
-from ..core.rbox import poly2rbox
+from ..core.rbox import poly2rbox, poly2rbox_v3
 from . import dota_utils as util
 from .polygon import poly_iou
 
@@ -208,9 +209,20 @@ def eval_maoe(
 ):
     """Mean absolute orientation error over TPs (mAOE_evaluation.py:48-171).
 
-    For each detection matching a gt at IoU > ovthresh: error =
-    |theta_det - theta_gt| * 57.32 degrees using the longest-edge rbox
-    angle.  Returns (mAOE_degrees, {class: aoe}).
+    For EVERY detection whose best-gt polygon IoU exceeds ovthresh:
+    error = |theta_det - theta_gt| * 57.32 degrees using the longest-edge
+    rbox angle.  Reference quirks mirrored exactly (verified by executing
+    mAOE_evaluation.py itself in test_reference_parity.py):
+      * no gt dedup — the reference creates R['det'] flags but never sets
+        them, so every matching detection contributes;
+      * no angle wrap — angles live in [-pi/4, 3pi/4) and near-square
+        boxes whose longest edge flips contribute ~90deg errors (the
+        storage-tank/baseball-diamond tails in the synthetic benchmarks
+        are this evaluator property, not a detector bug);
+      * 57.32 (not 180/pi = 57.2958) rad->deg factor.
+    The reference's main() evaluates at ovthresh=0.7 (mAOE_evaluation.py
+    :199 'set 0.7 as default'); pass that for published-number parity.
+    Returns (mAOE_degrees, {class: aoe}).
     """
     imagenames = _imagenames(imagesetfile_or_names)
     per_class = {}
@@ -234,10 +246,10 @@ def eval_maoe(
                 continue
             overlaps = np.array([poly_iou(R["bbox"][j], bb) for j in cand])
             k = int(np.argmax(overlaps))
-            if overlaps[k] > ovthresh and not R["det"][cand[k]]:
-                R["det"][cand[k]] = True
-                th_d = poly2rbox(bb[None])[0, 4]
-                th_g = poly2rbox(R["bbox"][cand[k]][None])[0, 4]
+            if overlaps[k] > ovthresh:
+                # v3 conversion: square-aware angle (see poly2rbox_v3)
+                th_d = poly2rbox_v3(bb[None])[0, 4]
+                th_g = poly2rbox_v3(R["bbox"][cand[k]][None])[0, 4]
                 errors.append(abs(th_d - th_g) * 57.32)
         if errors:
             per_class[c] = float(np.mean(errors))

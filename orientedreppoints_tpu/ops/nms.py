@@ -217,7 +217,7 @@ def nms_hbb(
 
 def _soft_suppress(
     iou, scores, valid, method: str, sigma: float, iou_thr: float,
-    min_score: float,
+    min_score: float, max_keep: int | None = None,
 ):
     """Soft-NMS decay loop over a precomputed IoU matrix.
 
@@ -226,28 +226,45 @@ def _soft_suppress(
     box's score — linear: s *= 1-iou (iou > thr), gaussian:
     s *= exp(-iou^2/sigma). Returns (decayed_scores, keep) where keep =
     selected with decayed score > min_score.
+
+    Runs as a while_loop that exits as soon as the best remaining decayed
+    score drops to min_score (every later pick would also fail the test,
+    so the kept set is EXACT) — the sequential trip count scales with the
+    number of selections instead of the static candidate cap (a 4096-cap
+    scene with 100 real detections runs ~100 trips, not 4096).  max_keep
+    optionally bounds selections (pass max_per_img when the caller
+    truncates anyway).
     """
     n = scores.shape[0]
     use_linear = method == "linear"
+    cap = n if max_keep is None else min(n, int(max_keep))
 
-    def body(_, state):
-        cur, processed, kept = state
+    def best(cur, processed):
         masked = jnp.where(processed | ~valid, _NEG, cur)
         j = jnp.argmax(masked)
-        ok = masked[j] > min_score
+        return j, masked[j]
+
+    def cond(state):
+        cur, processed, _, cnt = state
+        _, s = best(cur, processed)
+        return (s > min_score) & (cnt < cap)
+
+    def body(state):
+        cur, processed, kept, cnt = state
+        j, _ = best(cur, processed)  # cond guarantees score > min_score
         processed = processed.at[j].set(True)
-        kept = kept.at[j].set(ok)
+        kept = kept.at[j].set(True)
         iou_j = iou[j]
         if use_linear:
             decay = jnp.where(iou_j > iou_thr, 1.0 - iou_j, 1.0)
         else:
             decay = jnp.exp(-(iou_j * iou_j) / sigma)
         decay = jnp.where(processed, 1.0, decay)
-        cur = jnp.where(ok, cur * decay, cur)
-        return cur, processed, kept
+        return cur * decay, processed, kept, cnt + 1
 
-    init = (scores, jnp.zeros((n,), bool), jnp.zeros((n,), bool))
-    cur, _, kept = jax.lax.fori_loop(0, n, body, init)
+    init = (scores, jnp.zeros((n,), bool), jnp.zeros((n,), bool),
+            jnp.zeros((), jnp.int32))
+    cur, _, kept, _ = jax.lax.while_loop(cond, body, init)
     return cur, kept
 
 
@@ -259,6 +276,7 @@ def soft_rnms(
     min_score: float = 1e-3,
     method: str = "gaussian",
     valid: jnp.ndarray | None = None,
+    max_keep: int | None = None,
 ):
     """Soft-NMS over rotated polygons, fully on device (the reference has
     soft NMS only for horizontal boxes on CPU, nms_wrapper.py:120-175; this
@@ -272,7 +290,7 @@ def soft_rnms(
         valid = jnp.ones((quads.shape[0],), dtype=bool)
     iou = quad_iou_matrix_pallas(quads, quads)
     return _soft_suppress(iou, scores, valid, method, sigma, iou_thr,
-                          min_score)
+                          min_score, max_keep)
 
 
 def soft_nms_hbb(
@@ -283,6 +301,7 @@ def soft_nms_hbb(
     min_score: float = 1e-3,
     method: str = "linear",
     valid: jnp.ndarray | None = None,
+    max_keep: int | None = None,
 ):
     """Horizontal soft-NMS on device (reference soft_nms entry,
     nms_wrapper.py:120-175; defaults mirror it: method='linear',
@@ -294,7 +313,7 @@ def soft_nms_hbb(
         valid = jnp.ones((boxes.shape[0],), dtype=bool)
     iou = hbb_iou_matrix(boxes, boxes)
     return _soft_suppress(iou, scores, valid, method, sigma, iou_thr,
-                          min_score)
+                          min_score, max_keep)
 
 
 def multiclass_rnms(

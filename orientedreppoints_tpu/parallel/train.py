@@ -218,3 +218,16 @@ def make_train_step(
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+def step_cost_analysis(step_fn, state, batch):
+    """XLA-reported FLOPs of one compiled train step (best-effort; None if
+    the backend exposes no cost analysis)."""
+    try:
+        ca = step_fn.lower(state, batch).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None

@@ -844,3 +844,83 @@ class TestUcasAodEvalParity:
         for cls in classes:
             assert abs(aps[cls] - want[cls]) < 1e-12, (cls, aps, want)
         assert abs(mAP - np.mean(list(want.values()))) < 1e-12
+
+
+@pytest.fixture(scope="module")
+def ref_maoe():
+    saved = dict(sys.modules)
+    try:
+        from orientedreppoints_tpu.devkit.polygon import poly_iou
+
+        pio = types.ModuleType("polyiou")
+        pio.VectorDouble = lambda x: np.asarray(x, np.float64)
+        pio.iou_poly = lambda a, b: float(poly_iou(np.asarray(a),
+                                                   np.asarray(b)))
+        sys.modules["polyiou"] = pio
+        missing = [a for a in ("bool", "float") if not hasattr(np, a)]
+        for a in missing:
+            setattr(np, a, getattr(__builtins__, a, {"bool": bool,
+                                                     "float": float}[a]))
+        try:
+            _load("refpoly2rbox",
+                  osp.join(REF, "DOTA_devkit/dota_poly2rbox.py"))
+            sys.modules["dota_poly2rbox"] = sys.modules["refpoly2rbox"]
+            mod = _load("refmaoe",
+                        osp.join(REF, "DOTA_devkit/mAOE_evaluation.py"))
+            yield mod
+        finally:
+            for a in missing:
+                delattr(np, a)
+    finally:
+        sys.modules.clear()
+        sys.modules.update(saved)
+
+
+class TestMaoeParity:
+    def test_maoe_matches_reference(self, ref_maoe, tmp_path):
+        """Execute the reference's own mAOE evaluator (no gt dedup, no
+        angle wrap, 57.32 factor, IoU 0.7 as its main() uses) vs ours,
+        including duplicate detections on one gt and a near-square box
+        whose longest edge flips (the ~90deg tail)."""
+        from orientedreppoints_tpu.devkit.evaluation import eval_maoe
+
+        rng = np.random.RandomState(5)
+        classes = ["plane"]
+        images = ["P0000", "P0001"]
+        ann_dir = tmp_path / "anno"
+        det_dir = tmp_path / "det"
+        ann_dir.mkdir()
+        det_dir.mkdir()
+        det_lines = []
+        for name in images:
+            lines = []
+            polys = _random_gts(rng, 5, 600)
+            # one near-square gt to exercise the longest-edge flip
+            sq = np.array([100, 100, 160, 102, 158, 162, 98, 160],
+                          np.float64)
+            polys = np.vstack([polys, sq[None]])
+            for p in polys:
+                lines.append(" ".join(f"{v:.1f}" for v in p) + " plane 0")
+                # two detections per gt (dedup difference would show)
+                for _ in range(2):
+                    q = p + rng.randn(8) * 3
+                    det_lines.append(
+                        f"{name} {rng.rand():.4f} "
+                        + " ".join(f"{v:.2f}" for v in q))
+            (ann_dir / f"{name}.txt").write_text("\n".join(lines) + "\n")
+        (det_dir / "Task1_plane.txt").write_text(
+            "\n".join(det_lines) + "\n")
+        (tmp_path / "images.txt").write_text("\n".join(images) + "\n")
+
+        detpath = osp.join(str(det_dir), "Task1_{:s}.txt")
+        annopath = osp.join(str(ann_dir), "{:s}.txt")
+        want = ref_maoe.aoe_eval(
+            detpath, annopath, str(tmp_path / "images.txt"), "plane",
+            ovthresh=0.7)
+        want_mean = float(np.mean(want))
+        got, per_class = eval_maoe(detpath, annopath, images,
+                                   classnames=classes, ovthresh=0.7)
+        # the reference mixes float32 casts with float64 arctan2; ~1e-6
+        # deg differences remain
+        assert abs(got - want_mean) < 1e-4, (got, want_mean)
+        assert len(want) > 6  # duplicates contributed (no dedup)

@@ -178,6 +178,31 @@ class TestTrainStep:
         p1 = np.asarray(jax.tree.leaves(state2.params)[0])
         assert not np.allclose(p0, p1)
 
+    def test_dp_loss_invariance(self, setup, rng):
+        """8-way data-parallel sharded loss == single-device loss on the
+        identical global batch (psum'd shard-mean vs local mean)."""
+        model, variables, cfg = setup
+
+        def fresh_state():
+            params = jax.tree.map(jnp.copy, variables["params"])
+            tx = build_optimizer(params, lr_schedule(iters_per_epoch=10))
+            return TrainState(
+                step=jnp.zeros((), jnp.int32), params=params,
+                batch_stats=jax.tree.map(jnp.copy,
+                                         variables["batch_stats"]),
+                opt_state=tx.init(params), tx=tx,
+            )
+
+        batch = make_batch(rng, 8)
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        _, losses_dp = make_train_step(model, cfg, mesh=mesh)(
+            fresh_state(), {k: jnp.copy(v) for k, v in batch.items()})
+        _, losses_1 = make_train_step(model, cfg)(
+            fresh_state(), {k: jnp.copy(v) for k, v in batch.items()})
+        for k in losses_1:
+            a, b = float(losses_dp[k]), float(losses_1[k])
+            assert abs(a - b) <= 2e-5 * max(1.0, abs(b)), (k, a, b)
+
     def test_frozen_params_not_updated(self, setup, rng):
         from orientedreppoints_tpu.parallel.train import (
             default_frozen_prefixes,

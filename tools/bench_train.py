@@ -59,3 +59,32 @@ for b_ in bs[2:]:
 tot = float(losses["loss_total"])
 dt = (time.time()-t0)/3
 print(f"steady-state: {dt*1e3:.0f} ms/step @ B={B} -> {B/dt:.1f} img/s/chip; loss {tot:.3f}")
+
+# rough MFU from the compiled step's XLA cost analysis (bf16 peak on
+# v5e ~197 TFLOP/s); cost_analysis flops are per step-fn invocation
+mfu = None
+flops = None
+try:
+    from orientedreppoints_tpu.parallel.train import step_cost_analysis
+
+    flops = step_cost_analysis(step_fn, state, bs[0])
+    if flops:
+        mfu = flops / dt / 197e12  # v5e bf16 peak ~197 TFLOP/s
+        print(f"~{flops/1e9:.0f} GFLOP/step, MFU ~{mfu*100:.1f}%")
+except Exception as e:  # cost analysis is best-effort
+    print("cost analysis unavailable:", e)
+
+import json
+out = {
+    "metric": "train_throughput_r50_1024",
+    "value": round(B / dt, 2),
+    "unit": "img/s/chip",
+    "step_ms": round(dt * 1e3, 1),
+    "batch": B,
+    "mfu": round(mfu, 4) if mfu else None,
+    "loss_total": round(tot, 3),
+}
+print(json.dumps(out))
+with open(osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                   "TRAIN_BENCH.json"), "w") as f:
+    json.dump(out, f, indent=2)

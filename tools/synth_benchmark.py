@@ -230,8 +230,10 @@ def evaluate(args, cfg, model, variables, val_names):
         detpath, annopath, val_names, classnames=classnames,
         use_07_metric=False,
     )
+    # ovthresh=0.7 mirrors the reference's mAOE main() (the published
+    # 5.93deg is measured at 0.7)
     mAOE, aoes = eval_maoe(detpath, annopath, val_names,
-                           classnames=classnames)
+                           classnames=classnames, ovthresh=0.7)
     extra = {}
     if args.hrsc:
         # score the same merged detections with the HRSC2016 evaluator
