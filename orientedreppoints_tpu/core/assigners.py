@@ -123,6 +123,26 @@ def max_iou_assign(
     overlaps = jnp.where(
         gt_valid[:, None] & proposals_valid[None, :], overlaps, -1.0
     )
+    assigned = max_iou_assign_from_overlaps(
+        overlaps, proposals_valid, gt_valid,
+        pos_iou_thr=pos_iou_thr, neg_iou_thr=neg_iou_thr,
+        min_pos_iou=min_pos_iou,
+    )
+    return assigned, overlaps
+
+
+def max_iou_assign_from_overlaps(
+    overlaps: jnp.ndarray,
+    proposals_valid: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    pos_iou_thr: float = 0.1,
+    neg_iou_thr: float = 0.1,
+    min_pos_iou: float = 0.0,
+):
+    """The 4-step MaxIoUAssigner rule over a precomputed (G, N) IoU matrix
+    (max_iou_assigner.py:88-151 assign_wrt_overlaps, gt_max_assign_all);
+    exact parity verified by executing the reference method in
+    tests/test_reference_parity.py."""
     g, n = overlaps.shape
 
     max_overlaps = jnp.max(overlaps, axis=0)  # (N,)
@@ -155,4 +175,4 @@ def max_iou_assign(
     # invalid proposals are never positive; fold residual -1 to background
     assigned = jnp.where(proposals_valid, assigned, 0)
     assigned = jnp.maximum(assigned, 0)
-    return assigned, overlaps
+    return assigned

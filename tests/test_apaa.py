@@ -5,6 +5,7 @@ term structure."""
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from orientedreppoints_tpu.core.apaa import (
@@ -145,13 +146,17 @@ class TestOverflowCounter:
         gts = self._gts(rng)
         # max_pos=256 (not 512): the setup assigns ~213 positives, so
         # nothing overflows here and the graph compiles faster on CPU
-        big = compute_losses(outs, *gts, LossConfig(max_pos=256))
+        big = jax.jit(
+            lambda o, g: compute_losses(o, *g, LossConfig(max_pos=256))
+        )(outs, gts)
         assigned = float(big["num_assigned_pos"])
         assert assigned > 8, "test setup must produce many positives"
         assert float(big["overflow_pos"]) == 0
 
         cap = 8
-        small = compute_losses(outs, *gts, LossConfig(max_pos=cap))
+        small = jax.jit(
+            lambda o, g: compute_losses(o, *g, LossConfig(max_pos=cap))
+        )(outs, gts)
         # assignment is cap-independent; overflow is exactly the excess
         assert float(small["num_assigned_pos"]) == assigned
         assert float(small["overflow_pos"]) == max(assigned - cap, 0)

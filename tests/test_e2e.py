@@ -85,11 +85,17 @@ class TestInferenceToEval:
     def test_decode_format_eval(self, tiny_setup, tmp_path, rng):
         model, variables = tiny_setup
         imgs = jnp.asarray(rng.rand(1, IMG, IMG, 3).astype(np.float32))
-        outs = model.apply(variables, imgs)
-        dets, labels, valid = decode_detections(
-            outs, nms_pre=200, score_thr=1e-5, iou_thr=0.4, max_per_img=50,
-            pre_nms_cap=256,  # default 4096 = multi-minute CPU compile
-        )
+
+        @jax.jit
+        def infer(v, x):
+            outs = model.apply(v, x)
+            return decode_detections(
+                outs, nms_pre=200, score_thr=1e-5, iou_thr=0.4,
+                max_per_img=50,
+                pre_nms_cap=256,  # default 4096 = multi-minute CPU compile
+            )
+
+        dets, labels, valid = infer(variables, imgs)
         dets, labels, valid = map(np.asarray, (dets, labels, valid))
         keep = valid[0]
         per_class = rbbox2result(dets[0][keep][:, -9:], labels[0][keep], 16)

@@ -44,12 +44,17 @@ class TestForward:
     def test_decode_shapes(self, small_model):
         model, variables = small_model
         imgs = jnp.ones((1, 128, 128, 3), jnp.float32)
-        outs = model.apply(variables, imgs)
+
         # small pre_nms_cap: the default 4096 makes the unrolled
         # suppression scan a multi-minute CPU compile
-        dets, labels, valid = decode_detections(
-            outs, max_per_img=50, nms_pre=100, pre_nms_cap=256
-        )
+        @jax.jit
+        def infer(v, x):
+            return decode_detections(
+                model.apply(v, x), max_per_img=50, nms_pre=100,
+                pre_nms_cap=256,
+            )
+
+        dets, labels, valid = infer(variables, imgs)
         assert dets.shape == (1, 50, 27)  # 18 reppoints + 8 poly + 1 score
         assert labels.shape == (1, 50)
         assert valid.shape == (1, 50)

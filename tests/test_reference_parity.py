@@ -924,3 +924,56 @@ class TestMaoeParity:
         # deg differences remain
         assert abs(got - want_mean) < 1e-4, (got, want_mean)
         assert len(want) > 6  # duplicates contributed (no dedup)
+
+
+class TestMaxIoUAssignerParity:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_assign_wrt_overlaps_matches_reference(self, ref_point_assigner,
+                                                   seed):
+        """The 4-step assign rule on a SHARED random (G, N) IoU matrix:
+        reference MaxIoUAssigner.assign_wrt_overlaps (torch, executed from
+        max_iou_assigner.py with gt_max_assign_all) vs our
+        max_iou_assign_from_overlaps — including engineered ties where two
+        proposals share a gt's max IoU and two gts share a proposal."""
+        import importlib
+
+        # load max_iou_assigner into the same synthetic package the
+        # point-assigner fixture installed (shares AssignResult); stub the
+        # CUDA convex_overlaps import (we test the matrix-level rule)
+        ops = types.ModuleType("mmdet.ops")
+        iou = types.ModuleType("mmdet.ops.iou")
+        iou.convex_overlaps = lambda *a, **k: None
+        sys.modules["mmdet.ops"] = ops
+        sys.modules["mmdet.ops.iou"] = iou
+        mod = _load(
+            "refassign.max_iou_assigner",
+            osp.join(REF, "mmdet/core/bbox/assigners/max_iou_assigner.py"),
+        )
+        import jax.numpy as jnp
+        from orientedreppoints_tpu.core.assigners import (
+            max_iou_assign_from_overlaps,
+        )
+
+        rng = np.random.RandomState(seed)
+        g, n = 7, 200
+        overlaps = (rng.rand(g, n) * 0.4).astype(np.float32)
+        # engineered ties: proposals 0 and 1 tie gt 2's max; gts 3 and 4
+        # share identical rows (same max proposal)
+        overlaps[2, 0] = overlaps[2, 1] = 0.45
+        overlaps[4] = overlaps[3]
+
+        ref = mod.MaxIoUAssigner(
+            pos_iou_thr=0.1, neg_iou_thr=0.1, min_pos_iou=0,
+            ignore_iof_thr=-1,
+        )
+        res = ref.assign_wrt_overlaps(torch.from_numpy(overlaps))
+        want = res.gt_inds.numpy()
+        # the oriented config's equal thresholds leave no -1 survivors
+        assert (want >= 0).all()
+
+        got = np.asarray(max_iou_assign_from_overlaps(
+            jnp.asarray(overlaps),
+            jnp.ones((n,), bool), jnp.ones((g,), bool),
+            pos_iou_thr=0.1, neg_iou_thr=0.1, min_pos_iou=0.0,
+        ))
+        np.testing.assert_array_equal(got, want)

@@ -56,29 +56,37 @@ def setup():
 
 
 class TestLosses:
-    def test_loss_values_finite(self, setup, rng):
+    # one jitted (apply, loss) pair shared by every same-shape test in the
+    # class: a single compile, persisted in the compile cache across runs
+    @pytest.fixture(scope="class")
+    def jitted(self, setup):
         model, variables, cfg = setup
-        batch = make_batch(rng, 2)
-        outs = model.apply(variables, batch["images"])
-        losses = compute_losses(
-            outs, batch["gt_polys"], batch["gt_labels"], batch["gt_valid"],
-            batch["img_hw"], cfg,
+        apply = jax.jit(model.apply)
+        loss = jax.jit(
+            lambda o, b: compute_losses(
+                o, b["gt_polys"], b["gt_labels"], b["gt_valid"],
+                b["img_hw"], cfg,
+            )
         )
+        return apply, loss
+
+    def test_loss_values_finite(self, setup, jitted, rng):
+        model, variables, cfg = setup
+        apply, loss = jitted
+        batch = make_batch(rng, 2)
+        losses = loss(apply(variables, batch["images"]), batch)
         for k, v in losses.items():
             assert np.isfinite(float(v)), (k, float(v))
         assert float(losses["num_pos"]) > 0
         assert float(losses["loss_cls"]) > 0
         assert float(losses["loss_rbox_refine"]) > 0
 
-    def test_empty_gt_image(self, setup, rng):
+    def test_empty_gt_image(self, setup, jitted, rng):
         model, variables, cfg = setup
+        apply, loss = jitted
         batch = make_batch(rng, 2)
         batch["gt_valid"] = jnp.zeros_like(batch["gt_valid"])
-        outs = model.apply(variables, batch["images"])
-        losses = compute_losses(
-            outs, batch["gt_polys"], batch["gt_labels"], batch["gt_valid"],
-            batch["img_hw"], cfg,
-        )
+        losses = loss(apply(variables, batch["images"]), batch)
         for k, v in losses.items():
             assert np.isfinite(float(v)), k
         assert float(losses["num_pos"]) == 0
@@ -141,7 +149,7 @@ class TestLosses:
             )
             return sum(v for k, v in losses.items() if k.startswith("loss"))
 
-        grads = jax.grad(loss_fn)(variables["params"])
+        grads = jax.jit(jax.grad(loss_fn))(variables["params"])
         flat = jax.tree_util.tree_flatten_with_path(grads)[0]
         nonzero = 0
         for path, g in flat:
