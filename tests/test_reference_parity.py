@@ -977,3 +977,94 @@ class TestMaxIoUAssignerParity:
             pos_iou_thr=0.1, neg_iou_thr=0.1, min_pos_iou=0.0,
         ))
         np.testing.assert_array_equal(got, want)
+
+
+class TestGiouLossParity:
+    def test_loss_and_filtered_grad_match_reference(self):
+        """Execute the reference's GIoULoss autograd Function
+        (iou_loss.py:69-129) with its CUDA convex_giou op replaced by OUR
+        geometry (ops.geometry.convex_giou + jax vjp), and assert both the
+        loss value and d loss/d pred — including the signed grad>1 filter
+        and the ignored upstream cotangent — match our custom_vjp
+        giou_loss."""
+        import jax
+        import jax.numpy as jnp
+        from orientedreppoints_tpu.core.losses import giou_loss
+        from orientedreppoints_tpu.ops.geometry import convex_giou
+
+        saved = dict(sys.modules)
+        try:
+            def fake_convex_giou(pred_t, target_t):
+                pred = jnp.asarray(pred_t.detach().numpy())
+                target = jnp.asarray(target_t.detach().numpy())
+                giou, vjp = jax.vjp(lambda p: convex_giou(p, target), pred)
+                (grad,) = vjp(jnp.ones_like(giou))
+                return (torch.from_numpy(np.asarray(giou)),
+                        torch.from_numpy(np.asarray(grad)))
+
+            def stub(name, **attrs):
+                m = types.ModuleType(name)
+                for k, v in attrs.items():
+                    setattr(m, k, v)
+                sys.modules[name] = m
+                return m
+
+            stub("mmdet")
+            stub("mmdet.core", bbox_overlaps=lambda *a, **k: None)
+            stub("mmdet.ops")
+            stub("mmdet.ops.iou", convex_giou=fake_convex_giou)
+            _pkg("refloss", None)
+
+            class _Registry:
+                def register_module(self, cls=None):
+                    return cls if cls is not None else (lambda c: c)
+
+            stub("refloss.registry", LOSSES=_Registry())
+            stub("refloss.utils", weighted_loss=lambda f: f)
+            _pkg("refloss.losses", osp.join(REF, "mmdet/models/losses"))
+            mod = _load("refloss.losses.iou_loss",
+                        osp.join(REF, "mmdet/models/losses/iou_loss.py"))
+
+            rng = np.random.RandomState(0)
+            m = 24
+            # half normal-scale rows, half tiny-scale rows whose analytic
+            # grads exceed 1 so the filter actually fires
+            pred = np.zeros((m, 18), np.float32)
+            target = np.zeros((m, 8), np.float32)
+            for i in range(m):
+                scale = 20.0 if i < m // 2 else 0.08
+                c = rng.rand(2) * 100
+                pred[i] = (rng.randn(9, 2) * scale + c).reshape(-1)
+                w, h = rng.rand(2) * scale + scale / 2
+                r = np.array([[-w/2, -h/2], [w/2, -h/2],
+                              [w/2, h/2], [-w/2, h/2]])
+                target[i] = (r + c + rng.randn(2) * scale * 0.2).reshape(-1)
+            weight = np.ones((m,), np.float32)
+
+            ref_loss_mod = mod.GIoULoss(reduction="mean", loss_weight=0.375)
+            pred_t = torch.from_numpy(pred.copy()).requires_grad_(True)
+            loss_t = ref_loss_mod(pred_t, torch.from_numpy(target),
+                                  torch.from_numpy(weight))
+            loss_t.backward()
+            want_loss = float(loss_t)
+            want_grad = pred_t.grad.numpy()
+
+            ours = jax.jit(lambda p: giou_loss(
+                p, jnp.asarray(target), jnp.asarray(weight),
+                divisor=m, loss_weight=0.375))
+            got_loss = float(ours(jnp.asarray(pred)))
+            got_grad = np.asarray(jax.grad(
+                lambda p: ours(p))(jnp.asarray(pred)))
+
+            # confirm the filter actually fired: filtered rows become
+            # constant -eps/N*lw across all 18 components
+            filtered_val = -1e-6 / m * 0.375
+            row_is_filtered = np.all(
+                np.abs(want_grad - filtered_val) < 1e-12, axis=1)
+            assert row_is_filtered.any(), "fixture never triggers the filter"
+            np.testing.assert_allclose(got_loss, want_loss, rtol=1e-5)
+            np.testing.assert_allclose(got_grad, want_grad, rtol=1e-4,
+                                       atol=1e-7)
+        finally:
+            sys.modules.clear()
+            sys.modules.update(saved)
