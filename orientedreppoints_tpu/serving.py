@@ -25,7 +25,11 @@ class Predictor:
         checkpoint_dir: str | None = None,
         batch_size: int = 4,
         compute_dtype: str = "bfloat16",
+        test_cfg_overrides: dict | None = None,
     ):
+        """test_cfg_overrides: optional overrides merged over the config's
+        test_cfg (e.g. {'score_thr': 0.3, 'max_per_img': 100}, or
+        'pre_nms_cap' to bound the NMS candidate set for latency)."""
         import jax
         import jax.numpy as jnp
 
@@ -41,7 +45,8 @@ class Predictor:
         tpu = self.cfg.get("tpu", {})
         self.canvas = tuple(tpu.get("canvas_buckets", [(1344, 1344)])[-1])
         self.batch_size = batch_size
-        tc = self.cfg.test_cfg
+        tc = dict(self.cfg.test_cfg)
+        tc.update(test_cfg_overrides or {})
         norm = self.cfg.img_norm_cfg
         self._normalize = Normalize(norm["mean"], norm["std"],
                                     norm.get("to_rgb", True))
@@ -58,6 +63,7 @@ class Predictor:
             return decode_detections(
                 outs, nms_pre=tc["nms_pre"], score_thr=tc["score_thr"],
                 iou_thr=tc["nms"]["iou_thr"], max_per_img=tc["max_per_img"],
+                pre_nms_cap=tc.get("pre_nms_cap", 4096),
                 scale_factor=sf,
             )
 
