@@ -1068,3 +1068,96 @@ class TestGiouLossParity:
         finally:
             sys.modules.clear()
             sys.modules.update(saved)
+
+
+@pytest.fixture(scope="module")
+def ref_result_merge():
+    saved = dict(sys.modules)
+    try:
+        from orientedreppoints_tpu.devkit.polygon import poly_iou
+
+        pio = types.ModuleType("DOTA_devkit.polyiou")
+        pio.VectorDouble = lambda x: np.asarray(x, np.float64)
+        pio.iou_poly = lambda a, b: float(poly_iou(np.asarray(a),
+                                                   np.asarray(b)))
+        du = types.ModuleType("DOTA_devkit.dota_utils")
+        # ResultMerge only touches util.custombasename and
+        # util.GetFileFromThisRootDir (the real dota_utils imports
+        # shapely, absent here); faithful minimal re-implementations
+        du.custombasename = lambda p: osp.splitext(osp.basename(p))[0]
+
+        def _files(root, ext=".txt"):
+            return [osp.join(root, f) for f in sorted(os.listdir(root))
+                    if f.endswith(ext)]
+
+        du.GetFileFromThisRootDir = _files
+        pkg = types.ModuleType("DOTA_devkit")
+        pkg.polyiou = pio
+        pkg.dota_utils = du
+        sys.modules["DOTA_devkit"] = pkg
+        sys.modules["DOTA_devkit.polyiou"] = pio
+        sys.modules["DOTA_devkit.dota_utils"] = du
+        mod = _load("refmerge",
+                    osp.join(REF, "DOTA_devkit/ResultMerge_multi_process.py"))
+        yield mod
+    finally:
+        sys.modules.clear()
+        sys.modules.update(saved)
+
+
+class TestResultMergeParity:
+    def _parse(self, path):
+        rows = []
+        with open(path) as f:
+            for line in f:
+                p = line.split()
+                if len(p) >= 10:
+                    rows.append((p[0], round(float(p[1]), 4),
+                                 tuple(round(float(v), 2) for v in p[2:10])))
+        return sorted(rows)
+
+    def test_merge_matches_reference(self, ref_result_merge, tmp_path):
+        """Execute the reference's own tile-merge + polygon NMS
+        (mergebase with py_cpu_nms_poly_fast, thresh 0.1) on synthetic
+        patch-level Task1 files — multi-rate tiles, cross-tile duplicate
+        detections — and compare the merged per-image outputs with our
+        merge_by_poly."""
+        from orientedreppoints_tpu.devkit.result_merge import merge_by_poly
+
+        rng = np.random.RandomState(9)
+        src = tmp_path / "src"
+        dst_ref = tmp_path / "dst_ref"
+        dst_ours = tmp_path / "dst_ours"
+        for d in (src, dst_ref, dst_ours):
+            d.mkdir()
+
+        lines = []
+        for oriname in ("P0007", "P0042"):
+            for rate, (ox, oy) in (("1.0", (0, 0)), ("1.0", (512, 0)),
+                                   ("0.5", (0, 0))):
+                tile = f"{oriname}__{rate}__{ox}___{oy}"
+                for _ in range(6):
+                    base = _random_gts(rng, 1, 400)[0]
+                    sc = rng.rand()
+                    lines.append(f"{tile} {sc:.4f} "
+                                 + " ".join(f"{v:.2f}" for v in base))
+        # one explicit cross-tile duplicate pair per image: poly at orig
+        # (600..), seen by tile (512,0) at x-512 and by rate-0.5 tile at /2
+        for oriname in ("P0007", "P0042"):
+            orig = _random_gts(rng, 1, 200)[0] + np.tile([600.0, 100.0], 4)
+            in_tile2 = orig - np.tile([512.0, 0.0], 4)
+            in_tile3 = orig * 0.5
+            lines.append(f"{oriname}__1.0__512___0 0.9000 "
+                         + " ".join(f"{v:.2f}" for v in in_tile2))
+            lines.append(f"{oriname}__0.5__0___0 0.8000 "
+                         + " ".join(f"{v:.2f}" for v in in_tile3))
+        (src / "Task1_plane.txt").write_text("\n".join(lines) + "\n")
+
+        ref_result_merge.mergebase(str(src), str(dst_ref),
+                                   ref_result_merge.py_cpu_nms_poly_fast)
+        merge_by_poly(str(src), str(dst_ours), num_process=1)
+
+        want = self._parse(dst_ref / "Task1_plane.txt")
+        got = self._parse(dst_ours / "Task1_plane.txt")
+        assert len(want) > 0
+        assert got == want
