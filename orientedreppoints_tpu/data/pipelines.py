@@ -557,7 +557,10 @@ class MixUp:
     def __call__(self, results):
         if not isinstance(results, list):
             return results
-        if np.random.rand() >= self.mixup_ratio:
+        # a partial group (the sample materializer can come up short when
+        # upstream filtering rejects too many candidates) passes through,
+        # like PolyMosaic9's len<9 guard
+        if np.random.rand() >= self.mixup_ratio or len(results) < 2:
             return results[0]
         r1, r2 = results[0], results[1]
         h = max(r1["img"].shape[0], r2["img"].shape[0])

@@ -138,6 +138,16 @@ class TestMixUp:
         assert 0.05 < r < 0.95
         assert abs(px[1] / 200.0 - (1 - r)) < 0.02  # consistent blend
 
+    def test_partial_group_passes_through(self, rng):
+        # regression: the sample materializer can come up short (upstream
+        # filtering rejects candidates) and hand MixUp a 1-element group —
+        # must pass through, not IndexError (crashed a 125-epoch run)
+        np.random.seed(4)
+        m = MixUp(mixup_ratio=1.0)
+        s1 = make_sample(rng)
+        out = m([s1])
+        assert out is s1
+
 
 class TestPipelineWiring:
     PIPE_CFG = [

@@ -54,6 +54,15 @@ def parse_args():
                         "(devkit/hrsc.py eval_hrsc2016, VOC-07)")
     p.add_argument("--skip_gen", action="store_true")
     p.add_argument("--skip_train", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="resume training from the work_dir checkpoint")
+    p.add_argument("--ckpt_interval", type=int, default=10,
+                   help="checkpoint every N epochs (crash insurance)")
+    p.add_argument("--stop_epoch", type=int, default=0,
+                   help="train at most up to this epoch in THIS process, "
+                        "checkpoint and exit (rc=3) without evaluating; "
+                        "chunked runs bound the axon-runtime host-RSS leak "
+                        "(~25 MB/step held per H2D transfer)")
     p.add_argument("--log_interval", type=int, default=50)
     return p.parse_args()
 
@@ -165,25 +174,63 @@ def train(args, cfg):
     step_fn = make_train_step(model, loss_cfg, mesh=mesh,
                               dropout_rng=jax.random.key(args.seed))
 
+    import gc
+    import resource
+
+    ckpt_dir = osp.join(args.work_dir, "ckpts")
+    meta = dict(config=cfg.text, classes=list(dataset.CLASSES))
+    start_epoch = 0
+    if args.resume:
+        state, _ = checkpoint.load_checkpoint(ckpt_dir, state)
+        meta_path = osp.join(ckpt_dir, "meta.json")
+        if osp.exists(meta_path):
+            with open(meta_path) as f:
+                start_epoch = int(json.load(f).get("epoch", 0))
+        print(f"resumed at epoch {start_epoch}", flush=True)
+
+    # ORP_FEED=numpy passes host arrays straight to the jitted step
+    # (transfer at the jit boundary); ORP_SYNC_EVERY=N forces a scalar
+    # fetch every N steps to bound in-flight dispatches (leak hunting)
+    feed = os.environ.get("ORP_FEED", "jnp")
+    sync_every = int(os.environ.get("ORP_SYNC_EVERY", "0"))
+    end_epoch = (min(args.stop_epoch, total_epochs) if args.stop_epoch
+                 else total_epochs)
     it, t0 = 0, time.time()
-    for epoch in range(total_epochs):
+    last_saved = None
+    for epoch in range(start_epoch, end_epoch):
         for batch in loader:
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if feed == "jnp":
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
             state, losses = step_fn(state, batch)
+            if sync_every and it % sync_every == 0:
+                float(losses["loss_total"])
             if it % args.log_interval == 0:
                 vals = {k: round(float(v), 3) for k, v in losses.items()}
-                print(f"epoch {epoch} iter {it} ({time.time()-t0:.0f}s) "
-                      f"{json.dumps(vals)}", flush=True)
+                rss = resource.getrusage(
+                    resource.RUSAGE_SELF).ru_maxrss / 1e6
+                print(f"epoch {epoch} iter {it} ({time.time()-t0:.0f}s, "
+                      f"rss {rss:.1f}G) {json.dumps(vals)}", flush=True)
+                gc.collect()
             it += 1
             if args.max_steps and it >= args.max_steps:
                 break
+        if (epoch + 1) % args.ckpt_interval == 0:
+            checkpoint.save_checkpoint(
+                ckpt_dir, epoch + 1, state, meta={**meta, "epoch": epoch + 1})
+            last_saved = epoch + 1
         if args.max_steps and it >= args.max_steps:
             break
-    checkpoint.save_checkpoint(
-        osp.join(args.work_dir, "ckpts"), 1, state,
-        meta=dict(config=cfg.text, classes=list(dataset.CLASSES)),
-    )
-    print(f"training done: {it} iters in {time.time()-t0:.0f}s", flush=True)
+    if last_saved != end_epoch:
+        checkpoint.save_checkpoint(
+            ckpt_dir, end_epoch, state, meta={**meta, "epoch": end_epoch},
+        )
+    print(f"training done: {it} iters in {time.time()-t0:.0f}s "
+          f"(epochs {start_epoch}..{end_epoch} of {total_epochs})",
+          flush=True)
+    if end_epoch < total_epochs:
+        print("chunk complete; re-invoke with --resume to continue",
+              flush=True)
+        sys.exit(3)
     return model, {"params": state.params, "batch_stats": state.batch_stats}
 
 
@@ -251,6 +298,11 @@ def main():
 
     import jax
 
+    # ORP_PLATFORM=cpu forces CPU even under the axon site hook (which
+    # overrides the JAX_PLATFORMS env var) — used for smoke runs while
+    # the chip is busy
+    if os.environ.get("ORP_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["ORP_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("ORP_JAX_CACHE",
                                      "/tmp/orp_jax_cache_tpu"))
