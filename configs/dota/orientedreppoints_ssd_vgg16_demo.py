@@ -144,6 +144,9 @@ resume_from = None
 
 # TPU runtime extensions (no reference analogue)
 tpu = dict(
+    # normalize raw uint8 canvases on device (4x less H2D feed traffic);
+    # parallel.train.device_normalize, equivalence-tested
+    device_normalize=True,
     global_batch_size=8,  # 2 imgs/device x 4 devices in the reference recipe
     mesh_axes=("data",),
     compute_dtype="bfloat16",

@@ -67,7 +67,11 @@ def collate(
 ):
     b = len(samples)
     ch, cw = canvas
-    images = np.zeros((b, ch, cw, 3), np.float32)
+    # raw uint8 canvases (device-side Normalize) stay uint8 through
+    # collation so the H2D transfer ships 1 byte/px instead of 4
+    img_dtype = (np.uint8 if all(s["img"].dtype == np.uint8
+                                 for s in samples) else np.float32)
+    images = np.zeros((b, ch, cw, 3), img_dtype)
     gt_polys = np.zeros((b, max_gt, 8), np.float32)
     gt_labels = np.zeros((b, max_gt), np.int32)
     gt_valid = np.zeros((b, max_gt), bool)

@@ -290,19 +290,29 @@ class HSVAugment:
 
 @register
 class Normalize:
-    def __init__(self, mean, std, to_rgb: bool = True):
+    def __init__(self, mean, std, to_rgb: bool = True,
+                 device: bool = False):
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.to_rgb = to_rgb
+        # device=True defers the arithmetic to the accelerator: the raw
+        # uint8 image flows through collation (4x less H2D traffic) and
+        # parallel.train.device_normalize replicates these exact
+        # semantics (BGR->RGB flip, mean/std, zero pad region) inside
+        # the jitted step.  Entry points flip this on via
+        # cfg.tpu.device_normalize (utils/builder.build_img_norm).
+        self.device = device
 
     def __call__(self, results):
+        results["img_norm_cfg"] = dict(
+            mean=self.mean, std=self.std, to_rgb=self.to_rgb
+        )
+        if self.device:
+            return results
         img = results["img"].astype(np.float32)
         if self.to_rgb:
             img = img[..., ::-1]
         results["img"] = (img - self.mean) / self.std
-        results["img_norm_cfg"] = dict(
-            mean=self.mean, std=self.std, to_rgb=self.to_rgb
-        )
         return results
 
 

@@ -156,11 +156,35 @@ def build_optimizer(
     return tx
 
 
+def device_normalize(imgs, img_hw, mean, std, to_rgb: bool = True):
+    """Normalize raw (typically uint8) image canvases on device.
+
+    Replicates the host pipeline's Normalize -> Pad(0) -> zero-collate
+    semantics exactly (data/pipelines.py Normalize): optional BGR->RGB
+    channel flip, (x - mean) / std in 0-255 scale, and everything beyond
+    the true content extent `img_hw` forced to exactly 0 (the host path
+    pads AFTER normalizing, so its pad bands are 0, not -mean/std).
+
+    Shipping uint8 and normalizing on device cuts H2D feed traffic 4x —
+    XLA fuses the arithmetic into the stem convolution's input read.
+    """
+    x = imgs.astype(jnp.float32)
+    if to_rgb:
+        x = x[..., ::-1]
+    x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+    h, w = imgs.shape[1], imgs.shape[2]
+    yy = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+    xx = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    valid = (yy < img_hw[:, 0, None, None]) & (xx < img_hw[:, 1, None, None])
+    return x * valid[..., None]
+
+
 def make_train_step(
     model,
     loss_cfg: LossConfig,
     mesh: Mesh | None = None,
     dropout_rng: jax.Array | None = None,
+    img_norm: dict | None = None,
 ):
     """Build the jitted SPMD train step.
 
@@ -174,6 +198,10 @@ def make_train_step(
     (Swin DropPath 0.2, reference swin_transformer.py drop_path + swin
     config) actually fires during training; deterministic backbones
     (ResNet) ignore it, so their graphs are unchanged.
+
+    `img_norm` (dict of mean/std/to_rgb, see utils/builder.build_img_norm)
+    makes the step normalize raw uint8 canvases on device via
+    `device_normalize`; without it, images arrive pre-normalized f32.
     """
     base_rng = dropout_rng if dropout_rng is not None else jax.random.key(0)
 
@@ -182,8 +210,11 @@ def make_train_step(
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
+        imgs = batch["images"]
+        if img_norm is not None:
+            imgs = device_normalize(imgs, batch["img_hw"], **img_norm)
         outs = model.apply(
-            variables, batch["images"],
+            variables, imgs,
             deterministic=False, rngs={"dropout": rng},
         )
         losses = compute_losses(

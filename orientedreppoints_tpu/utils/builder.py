@@ -92,12 +92,33 @@ def build_loss_config(cfg) -> LossConfig:
     )
 
 
-def build_dataset(dcfg):
+def build_img_norm(cfg):
+    """Device-side normalization spec (or None to keep it on host).
+
+    When `cfg.tpu.device_normalize` is true, returns the train pipeline's
+    Normalize constants as kwargs for `parallel.train.device_normalize`;
+    pass the flag to `build_dataset` so the host Normalize defers.
+    """
+    if not cfg.get("tpu", {}).get("device_normalize", False):
+        return None
+    for step in cfg.data["train"]["pipeline"]:
+        if step.get("type") == "Normalize":
+            return dict(mean=tuple(float(m) for m in step["mean"]),
+                        std=tuple(float(s) for s in step["std"]),
+                        to_rgb=bool(step.get("to_rgb", True)))
+    return None
+
+
+def build_dataset(dcfg, device_normalize: bool = False):
     cls = _DATASETS[dcfg["type"]]
+    pipeline_cfg = dcfg["pipeline"]
+    if device_normalize:
+        pipeline_cfg = [dict(s, device=True) if s.get("type") == "Normalize"
+                        else s for s in pipeline_cfg]
     return cls(
         ann_file=dcfg["ann_file"],
         img_prefix=dcfg.get("img_prefix", ""),
-        pipeline=build_pipeline(dcfg["pipeline"]),
+        pipeline=build_pipeline(pipeline_cfg),
         test_mode=dcfg.get("test_mode", False),
     )
 

@@ -321,3 +321,95 @@ class TestSchedule:
         assert float(sched(jnp.asarray(2400))) == pytest.approx(0.0008)
         assert float(sched(jnp.asarray(3200))) == pytest.approx(8e-5)
         assert float(sched(jnp.asarray(3800))) == pytest.approx(8e-6)
+
+
+class TestDeviceNormalize:
+    """Device-side Normalize (uint8 feed) ≡ host Normalize + zero pad."""
+
+    MEAN = (123.675, 116.28, 103.53)
+    STD = (58.395, 57.12, 57.375)
+
+    def _raw_batch(self, rng, b=2, content=96):
+        batch = make_batch(rng, b)
+        raw = (rng.rand(b, IMG, IMG, 3) * 255).astype(np.uint8)
+        raw[:, content:] = 0
+        raw[:, :, content:] = 0
+        batch["img_hw"] = jnp.full((b, 2), content, jnp.int32)
+        return batch, raw
+
+    def _host_normalize(self, raw, content):
+        x = raw.astype(np.float32)[..., ::-1]
+        x = (x - np.asarray(self.MEAN, np.float32)) / np.asarray(
+            self.STD, np.float32)
+        x[:, content:] = 0
+        x[:, :, content:] = 0
+        return x
+
+    def test_device_normalize_matches_host(self):
+        from orientedreppoints_tpu.parallel.train import device_normalize
+
+        rng = np.random.RandomState(7)
+        _, raw = self._raw_batch(rng)
+        got = np.asarray(device_normalize(
+            jnp.asarray(raw), jnp.full((2, 2), 96, jnp.int32),
+            self.MEAN, self.STD, to_rgb=True))
+        np.testing.assert_allclose(got, self._host_normalize(raw, 96),
+                                   rtol=0, atol=1e-5)
+
+    def test_train_step_uint8_feed_equals_host_path(self, setup):
+        model, variables, cfg = setup
+        rng = np.random.RandomState(8)
+        batch, raw = self._raw_batch(rng)
+        tx = build_optimizer(variables["params"], lr_schedule())
+
+        def state():
+            # fresh device copies: the jitted step donates the state
+            # buffers, so each invocation needs its own arrays
+            params = jax.tree.map(jnp.array, variables["params"])
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                batch_stats=jax.tree.map(
+                    jnp.array, variables.get("batch_stats", {})),
+                opt_state=tx.init(params),
+                tx=tx,
+            )
+
+        host_batch = dict(batch, images=jnp.asarray(
+            self._host_normalize(raw, 96)))
+        _, host_losses = make_train_step(model, cfg)(state(), host_batch)
+
+        dev_batch = dict(batch, images=jnp.asarray(raw))
+        _, dev_losses = make_train_step(
+            model, cfg,
+            img_norm=dict(mean=self.MEAN, std=self.STD, to_rgb=True),
+        )(state(), dev_batch)
+
+        for k in host_losses:
+            np.testing.assert_allclose(
+                float(host_losses[k]), float(dev_losses[k]),
+                rtol=1e-5, atol=1e-6, err_msg=k)
+
+    def test_builder_wires_device_normalize(self, tmp_path):
+        from orientedreppoints_tpu.utils import Config, builder
+
+        cfg = Config.fromfile("configs/dota/synth_r18_512.py")
+        assert builder.build_img_norm(cfg) is None  # flag off by default
+        cfg.tpu["device_normalize"] = True
+        norm = builder.build_img_norm(cfg)
+        assert norm is not None and len(norm["mean"]) == 3
+
+        from orientedreppoints_tpu.data.pipelines import build_pipeline
+
+        steps = [dict(s, device=True) if s.get("type") == "Normalize" else s
+                 for s in cfg.data["train"]["pipeline"]]
+        pipe = build_pipeline(steps)
+        # a uint8 image must survive the deferred Normalize untouched
+        from orientedreppoints_tpu.data.pipelines import Normalize
+
+        n = Normalize(norm["mean"], norm["std"], device=True)
+        img = (np.random.RandomState(0).rand(16, 16, 3) * 255).astype(
+            np.uint8)
+        out = n({"img": img})
+        assert out["img"].dtype == np.uint8
+        assert "img_norm_cfg" in out

@@ -131,7 +131,9 @@ def train(args, cfg):
     tpu = cfg.get("tpu", {})
     model = builder.build_detector(cfg, tpu.get("compute_dtype", "bfloat16"))
     loss_cfg = builder.build_loss_config(cfg)
-    dataset = builder.build_dataset(cfg.data["train"])
+    img_norm = builder.build_img_norm(cfg)
+    dataset = builder.build_dataset(cfg.data["train"],
+                                    device_normalize=img_norm is not None)
     loader = builder.build_dataloader(dataset, cfg)
     iters_per_epoch = max(len(loader), 1)
     total_epochs = args.epochs or cfg.total_epochs
@@ -172,7 +174,8 @@ def train(args, cfg):
     mesh = Mesh(np.array(jax.devices()),
                 tuple(tpu.get("mesh_axes", ("data",))))
     step_fn = make_train_step(model, loss_cfg, mesh=mesh,
-                              dropout_rng=jax.random.key(args.seed))
+                              dropout_rng=jax.random.key(args.seed),
+                              img_norm=img_norm)
 
     import gc
     import resource

@@ -78,7 +78,9 @@ def main():
     tpu = cfg.get("tpu", {})
     model = builder.build_detector(cfg, tpu.get("compute_dtype", "bfloat16"))
     loss_cfg = builder.build_loss_config(cfg)
-    dataset = builder.build_dataset(cfg.data["train"])
+    img_norm = builder.build_img_norm(cfg)
+    dataset = builder.build_dataset(cfg.data["train"],
+                                    device_normalize=img_norm is not None)
     loader = builder.build_dataloader(dataset, cfg)
     iters_per_epoch = max(len(loader), 1)
     total_epochs = args.total_epochs or cfg.total_epochs
@@ -128,7 +130,7 @@ def main():
         log.info("resumed from %s at epoch %d", args.resume_from, start_epoch)
 
     mesh = Mesh(np.array(jax.devices()), tuple(tpu.get("mesh_axes", ("data",))))
-    step_fn = make_train_step(model, loss_cfg, mesh=mesh)
+    step_fn = make_train_step(model, loss_cfg, mesh=mesh, img_norm=img_norm)
 
     ckpt_dir = osp.join(work_dir, "ckpts")
     it = 0
