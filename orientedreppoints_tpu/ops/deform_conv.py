@@ -177,12 +177,36 @@ def _pyramid_plan(shapes, offsets, kernel_size: int):
 
     shapes: static per-level (B, H_l, W_l) tuples.
     """
+    idx, ok, wy, wx, _ = _pyramid_plan_ext(shapes, offsets, kernel_size)
+    return idx, ok, wy, wx
+
+
+def _pyramid_plan_ext(shapes, offsets, kernel_size: int):
+    """_pyramid_plan plus the x-pair window plan for the scatter backward.
+
+    The two x-adjacent bilinear corners of a sample hit CONTIGUOUS rows of
+    the flattened feature table (row = y*w + x), so the backward can
+    scatter each (dy=0 / dy=1) corner pair as ONE (2, C)-window update at
+    a window start ws = y_clip*w + clip(x0, 0, w-2) — halving scatter
+    indices vs per-corner scatters.  Because the start is clamped to keep
+    the window in-bounds, the lane a corner lands in shifts at the image
+    borders; the returned masks select lanes:
+      m_a: x0 == xs        (interior: corner dx=0 -> lane 0, dx=1 -> 1)
+      m_b: x0 + 1 == xs    (left edge x0=-1: corner dx=1 -> lane 0)
+      m_c: x0 == xs + 1    (right edge x0=w-1: corner dx=0 -> lane 1)
+    Out-of-bounds corners are already zeroed via ok, so clamped window
+    rows only ever receive zero contributions.
+
+    Returns (idx, ok, wy, wx, (ws0, ws1, m_a, m_b, m_c)) with ws0/ws1 the
+    flat window starts for the dy=0 / dy=1 pairs.
+    """
     k = kernel_size * kernel_size
     b = shapes[0][0]
     base = jnp.asarray(dcn_base_offset(kernel_size), jnp.float32)
     idxs = [[], [], [], []]
     oks = [[], [], [], []]
     wys, wxs = [], []
+    ws0s, ws1s, mas, mbs, mcs = [], [], [], [], []
     lvl_base = 0
     for (_, h, w), o in zip(shapes, offsets):
         off = (o.astype(jnp.float32) + base).reshape(b, h, w, k, 2)
@@ -210,13 +234,26 @@ def _pyramid_plan(shapes, offsets, kernel_size: int):
                      + row0).reshape(-1)
                 )
                 ci += 1
+        # max(w-2, 0) keeps degenerate w==1 levels legal; any window row
+        # beyond the true extent only ever receives zero (masked) lanes
+        xs = jnp.clip(x0, 0, max(w - 2, 0))
+        ws0s.append(
+            (jnp.clip(y0, 0, h - 1) * w + xs + row0).reshape(-1))
+        ws1s.append(
+            (jnp.clip(y0 + 1, 0, h - 1) * w + xs + row0).reshape(-1))
+        mas.append((x0 == xs).reshape(-1))
+        mbs.append((x0 + 1 == xs).reshape(-1))
+        mcs.append((x0 == xs + 1).reshape(-1))
         lvl_base += b * h * w
 
     idx = [jnp.concatenate(x) for x in idxs]
     ok = [jnp.concatenate(x) for x in oks]
     wy = jnp.concatenate(wys)
     wx = jnp.concatenate(wxs)
-    return idx, ok, wy, wx
+    win = (jnp.concatenate(ws0s), jnp.concatenate(ws1s),
+           jnp.concatenate(mas), jnp.concatenate(mbs),
+           jnp.concatenate(mcs))
+    return idx, ok, wy, wx, win
 
 
 def _split_levels(flat_rows: jnp.ndarray, feats: list, chans: int) -> list:
@@ -319,7 +356,7 @@ def _pair_core_fwd_impl(kernel_size, shapes, flat_a, flat_b, offsets,
                         weight_a, weight_b):
     k = kernel_size * kernel_size
     c = flat_a.shape[-1]
-    idx, ok, wy, wx = _pyramid_plan(shapes, offsets, kernel_size)
+    idx, ok, wy, wx, win = _pyramid_plan_ext(shapes, offsets, kernel_size)
     va, vb = _pair_corners(flat_a, flat_b, idx, ok)
     cw, _, _ = _lerp_weights(wy, wx, flat_a.dtype)
     sa = _combine(va, cw, k, c)
@@ -335,7 +372,7 @@ def _pair_core_fwd_impl(kernel_size, shapes, flat_a, flat_b, offsets,
     # residuals: corner values (same liveness autodiff would keep for the
     # lerp-weight grads), plan arrays, weights, offsets (tiny, for dtype/
     # structure of their cotangent)
-    res = (idx, ok, wy, wx, va, vb, weight_a, weight_b, offsets)
+    res = (idx, ok, wy, wx, win, va, vb, weight_a, weight_b, offsets)
     return (out_a, out_b), res
 
 
@@ -346,7 +383,7 @@ def _pair_core_fwd(kernel_size, shapes, flat_a, flat_b, offsets, weight_a,
 
 
 def _pair_core_bwd(kernel_size, shapes, res, g):
-    idx, ok, wy, wx, va, vb, weight_a, weight_b, offsets = res
+    idx, ok, wy, wx, win, va, vb, weight_a, weight_b, offsets = res
     g_a, g_b = g
     k = kernel_size * kernel_size
     c = va[0].shape[-1]
@@ -367,17 +404,48 @@ def _pair_core_bwd(kernel_size, shapes, res, g):
     gs_a_dt = gs_a.astype(dt)
     gs_b_dt = gs_b.astype(dt)
 
-    # --- feature-table grads: 4 COMBINED (N, 2C) corner scatters ---------
-    # Both instances share idx/ok, and TPU scatter cost is per-row (DESIGN
-    # s10: two (N, C) scatters cost ~35% more than one (N, 2C) scatter of
-    # the same payload), so the corner grads are concatenated channel-wise
-    # and scattered once per corner into a (rows, 2C) table.
-    gtab = jnp.zeros((rows, 2 * c), dt)
-    for i in range(4):
-        gv = jnp.concatenate(
-            [gs_a_dt * cw[i], gs_b_dt * cw[i]], axis=-1
-        ) * ok[i][:, None].astype(dt)
-        gtab = gtab.at[idx[i]].add(gv)
+    # --- feature-table grads ---------------------------------------------
+    # Both instances share idx/ok, and TPU scatter cost is per scatter
+    # index (DESIGN s10: two (N, C) scatters cost ~35% more than one
+    # (N, 2C) scatter of the same payload), so the corner grads are
+    # concatenated channel-wise into (N, 2C) rows.  Two formulations:
+    #   combined: 4 per-corner (N, 2C)-row scatters (round-3 baseline);
+    #   window:   2 scatters of (N, 2, 2C) windows — the x-adjacent
+    #             corners land in CONTIGUOUS table rows, so each dy pair
+    #             is one windowed update at ws = y*w + clip(x0, 0, w-2),
+    #             halving scatter indices again.  Border lanes selected
+    #             by the m_a/m_b/m_c masks (_pyramid_plan_ext).
+    cv = [
+        jnp.concatenate([gs_a_dt * cw[i], gs_b_dt * cw[i]], axis=-1)
+        * ok[i][:, None].astype(dt)
+        for i in range(4)
+    ]
+    if os.environ.get("ORP_PAIR_SCATTER", "combined") == "window":
+        ws0, ws1, m_a, m_b, m_c = win
+        ma = m_a[:, None].astype(dt)
+        mb = m_b[:, None].astype(dt)
+        mc = m_c[:, None].astype(dt)
+        dn = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1, 2),
+            inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0,),
+        )
+        # one pad row: window starts are in [0, rows-1], so [ws, ws+1]
+        # stays in-bounds of the padded table even for w==1 levels where
+        # the (always zero) second lane can point one past the level end
+        gtab = jnp.zeros((rows + 1, 2 * c), dt)
+        for ws, (c0, c1) in ((ws0, (cv[0], cv[1])), (ws1, (cv[2], cv[3]))):
+            upd = jnp.stack(
+                [c0 * ma + c1 * mb, c1 * ma + c0 * mc], axis=1)
+            gtab = jax.lax.scatter_add(
+                gtab, ws[:, None], upd, dn,
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )
+        gtab = gtab[:rows]
+    else:
+        gtab = jnp.zeros((rows, 2 * c), dt)
+        for i in range(4):
+            gtab = gtab.at[idx[i]].add(cv[i])
     gflat_a = gtab[:, :c]
     gflat_b = gtab[:, c:]
 
