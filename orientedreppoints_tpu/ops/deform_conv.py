@@ -177,11 +177,12 @@ def _pyramid_plan(shapes, offsets, kernel_size: int):
 
     shapes: static per-level (B, H_l, W_l) tuples.
     """
-    idx, ok, wy, wx, _ = _pyramid_plan_ext(shapes, offsets, kernel_size)
-    return idx, ok, wy, wx
+    return _pyramid_plan_ext(shapes, offsets, kernel_size,
+                             with_win=False)[:4]
 
 
-def _pyramid_plan_ext(shapes, offsets, kernel_size: int):
+def _pyramid_plan_ext(shapes, offsets, kernel_size: int,
+                      with_win: bool = True):
     """_pyramid_plan plus the x-pair window plan for the scatter backward.
 
     The two x-adjacent bilinear corners of a sample hit CONTIGUOUS rows of
@@ -199,6 +200,11 @@ def _pyramid_plan_ext(shapes, offsets, kernel_size: int):
 
     Returns (idx, ok, wy, wx, (ws0, ws1, m_a, m_b, m_c)) with ws0/ws1 the
     flat window starts for the dy=0 / dy=1 pairs.
+
+    with_win=False skips tracing the window plan entirely (win = None) so
+    forward-only graphs stay IDENTICAL to the plain-plan formulation —
+    the windowed backward recomputes the plan from its offsets residual
+    instead of carrying win through fwd residuals.
     """
     k = kernel_size * kernel_size
     b = shapes[0][0]
@@ -234,16 +240,17 @@ def _pyramid_plan_ext(shapes, offsets, kernel_size: int):
                      + row0).reshape(-1)
                 )
                 ci += 1
-        # max(w-2, 0) keeps degenerate w==1 levels legal; any window row
-        # beyond the true extent only ever receives zero (masked) lanes
-        xs = jnp.clip(x0, 0, max(w - 2, 0))
-        ws0s.append(
-            (jnp.clip(y0, 0, h - 1) * w + xs + row0).reshape(-1))
-        ws1s.append(
-            (jnp.clip(y0 + 1, 0, h - 1) * w + xs + row0).reshape(-1))
-        mas.append((x0 == xs).reshape(-1))
-        mbs.append((x0 + 1 == xs).reshape(-1))
-        mcs.append((x0 == xs + 1).reshape(-1))
+        if with_win:
+            # max(w-2, 0) keeps degenerate w==1 levels legal; any window
+            # row beyond the true extent only receives zero (masked) lanes
+            xs = jnp.clip(x0, 0, max(w - 2, 0))
+            ws0s.append(
+                (jnp.clip(y0, 0, h - 1) * w + xs + row0).reshape(-1))
+            ws1s.append(
+                (jnp.clip(y0 + 1, 0, h - 1) * w + xs + row0).reshape(-1))
+            mas.append((x0 == xs).reshape(-1))
+            mbs.append((x0 + 1 == xs).reshape(-1))
+            mcs.append((x0 == xs + 1).reshape(-1))
         lvl_base += b * h * w
 
     idx = [jnp.concatenate(x) for x in idxs]
@@ -252,7 +259,7 @@ def _pyramid_plan_ext(shapes, offsets, kernel_size: int):
     wx = jnp.concatenate(wxs)
     win = (jnp.concatenate(ws0s), jnp.concatenate(ws1s),
            jnp.concatenate(mas), jnp.concatenate(mbs),
-           jnp.concatenate(mcs))
+           jnp.concatenate(mcs)) if with_win else None
     return idx, ok, wy, wx, win
 
 
@@ -356,7 +363,7 @@ def _pair_core_fwd_impl(kernel_size, shapes, flat_a, flat_b, offsets,
                         weight_a, weight_b):
     k = kernel_size * kernel_size
     c = flat_a.shape[-1]
-    idx, ok, wy, wx, win = _pyramid_plan_ext(shapes, offsets, kernel_size)
+    idx, ok, wy, wx = _pyramid_plan(shapes, offsets, kernel_size)
     va, vb = _pair_corners(flat_a, flat_b, idx, ok)
     cw, _, _ = _lerp_weights(wy, wx, flat_a.dtype)
     sa = _combine(va, cw, k, c)
@@ -372,7 +379,7 @@ def _pair_core_fwd_impl(kernel_size, shapes, flat_a, flat_b, offsets,
     # residuals: corner values (same liveness autodiff would keep for the
     # lerp-weight grads), plan arrays, weights, offsets (tiny, for dtype/
     # structure of their cotangent)
-    res = (idx, ok, wy, wx, win, va, vb, weight_a, weight_b, offsets)
+    res = (idx, ok, wy, wx, va, vb, weight_a, weight_b, offsets)
     return (out_a, out_b), res
 
 
@@ -383,7 +390,7 @@ def _pair_core_fwd(kernel_size, shapes, flat_a, flat_b, offsets, weight_a,
 
 
 def _pair_core_bwd(kernel_size, shapes, res, g):
-    idx, ok, wy, wx, win, va, vb, weight_a, weight_b, offsets = res
+    idx, ok, wy, wx, va, vb, weight_a, weight_b, offsets = res
     g_a, g_b = g
     k = kernel_size * kernel_size
     c = va[0].shape[-1]
@@ -415,12 +422,17 @@ def _pair_core_bwd(kernel_size, shapes, res, g):
     #             is one windowed update at ws = y*w + clip(x0, 0, w-2),
     #             halving scatter indices again.  Border lanes selected
     #             by the m_a/m_b/m_c masks (_pyramid_plan_ext).
-    cv = [
-        jnp.concatenate([gs_a_dt * cw[i], gs_b_dt * cw[i]], axis=-1)
-        * ok[i][:, None].astype(dt)
-        for i in range(4)
-    ]
+    def corner_rows(i):
+        return jnp.concatenate(
+            [gs_a_dt * cw[i], gs_b_dt * cw[i]], axis=-1
+        ) * ok[i][:, None].astype(dt)
+
     if os.environ.get("ORP_PAIR_SCATTER", "combined") == "window":
+        # recompute the window plan from the offsets residual (elementwise,
+        # trivially cheap next to the scatters) so forward graphs never
+        # carry win arrays and stay identical to the plain formulation
+        cv = [corner_rows(i) for i in range(4)]
+        _, _, _, _, win = _pyramid_plan_ext(shapes, offsets, kernel_size)
         ws0, ws1, m_a, m_b, m_c = win
         ma = m_a[:, None].astype(dt)
         mb = m_b[:, None].astype(dt)
@@ -445,7 +457,7 @@ def _pair_core_bwd(kernel_size, shapes, res, g):
     else:
         gtab = jnp.zeros((rows, 2 * c), dt)
         for i in range(4):
-            gtab = gtab.at[idx[i]].add(cv[i])
+            gtab = gtab.at[idx[i]].add(corner_rows(i))
     gflat_a = gtab[:, :c]
     gflat_b = gtab[:, c:]
 
