@@ -14,8 +14,10 @@ default on TPU) with f32 params; FrozenBN folds to a single multiply-add.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -57,6 +59,59 @@ class _ConvBN(nn.Module):
         if self.act:
             x = nn.relu(x)
         return x
+
+
+class _StemKernel(nn.Module):
+    """Holds the stem conv kernel under the same tree path nn.Conv uses
+    (stem/conv/kernel), so checkpoints/converters are layout-identical
+    whichever stem formulation runs."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", _he_init, (7, 7, 3, 64), jnp.float32)
+
+
+class _StemS2D(nn.Module):
+    """Space-to-depth rewrite of the 7x7/s2 stem conv (MLPerf-style).
+
+    EXACT math rewrite: pad the 7x7 kernel to 8x8 with a zero row/col,
+    split each tap index as di = 2a + p, and the strided conv becomes a
+    4x4 stride-1 VALID conv over the 2x2 space-to-depth input (12
+    channels).  Stride-2 7x7 convs map poorly onto the MXU (odd taps,
+    strided input reads); the rewritten form is a dense stride-1 conv.
+    Parameters and outputs are identical to _ConvBN(64, 7, 2) — the
+    kernel rearrangement is traced on the (8*8*3*64) weight, which XLA
+    hoists out of the step loop.
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = _StemKernel(name="conv")()
+        b, h, w, c = x.shape
+        assert h % 2 == 0 and w % 2 == 0, (h, w)
+        k = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        hp, wp = h + 6, w + 6
+        z = (
+            xp.reshape(b, hp // 2, 2, wp // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, hp // 2, wp // 2, 4 * c)
+        )
+        k8 = jnp.pad(k, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        k4 = (
+            k8.reshape(4, 2, 4, 2, c, 64)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * c, 64)
+        )
+        y = jax.lax.conv_general_dilated(
+            z, k4, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[:, : h // 2, : w // 2]
+        y = FrozenBatchNorm(64, dtype=self.dtype, name="bn")(y)
+        return nn.relu(y)
 
 
 class BasicBlock(nn.Module):
@@ -118,7 +173,10 @@ class ResNet(nn.Module):
         block_cls = BasicBlock if block_type == "basic" else Bottleneck
 
         x = x.astype(self.dtype)
-        x = _ConvBN(64, 7, 2, dtype=self.dtype, name="stem")(x)
+        if os.environ.get("ORP_STEM", "conv") == "s2d":
+            x = _StemS2D(dtype=self.dtype, name="stem")(x)
+        else:
+            x = _ConvBN(64, 7, 2, dtype=self.dtype, name="stem")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         outs = []

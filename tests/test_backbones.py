@@ -91,3 +91,38 @@ class TestSSDVGG:
         out = np.asarray(m.apply(v, x))
         norms = np.linalg.norm(out, axis=-1)
         np.testing.assert_allclose(norms, 20.0, rtol=1e-5)
+
+
+class TestStemS2D:
+    """ORP_STEM=s2d (space-to-depth stem rewrite) must be numerically
+    equivalent to the plain 7x7/s2 stem conv on identical params."""
+
+    def test_s2d_stem_matches_conv_stem(self, rng, monkeypatch):
+        from orientedreppoints_tpu.models.resnet import ResNet
+
+        x = jnp.asarray(rng.randn(2, 64, 96, 3).astype(np.float32))
+        model = ResNet(depth=18, out_indices=(0, 1, 2, 3))
+        monkeypatch.setenv("ORP_STEM", "conv")
+        variables = model.init(jax.random.PRNGKey(0), x)
+        outs_conv = model.apply(variables, x)
+        monkeypatch.setenv("ORP_STEM", "s2d")
+        outs_s2d = model.apply(variables, x)
+        for i, (a, b) in enumerate(zip(outs_conv, outs_s2d)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+                err_msg=f"stage {i}")
+
+    def test_s2d_param_tree_identical(self, rng, monkeypatch):
+        from orientedreppoints_tpu.models.resnet import ResNet
+
+        x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        model = ResNet(depth=18)
+        monkeypatch.setenv("ORP_STEM", "conv")
+        v_conv = model.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setenv("ORP_STEM", "s2d")
+        v_s2d = model.init(jax.random.PRNGKey(0), x)
+        assert jax.tree.structure(v_conv) == jax.tree.structure(v_s2d)
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(v_conv),
+                jax.tree_util.tree_leaves_with_path(v_s2d)):
+            assert ka == kb and a.shape == b.shape and a.dtype == b.dtype
