@@ -36,18 +36,10 @@ def init_detector(config, checkpoint_dir: str | None = None,
         jax.random.PRNGKey(0), jnp.zeros((1,) + canvas + (3,), jnp.float32)
     )
     if checkpoint_dir:
-        import orbax.checkpoint as ocp
+        from .utils.checkpoint import load_eval_variables
 
-        with ocp.CheckpointManager(osp.abspath(checkpoint_dir)) as mngr:
-            restored = mngr.restore(
-                mngr.latest_step(),
-                args=ocp.args.StandardRestore(
-                    {"params": variables["params"],
-                     "batch_stats": variables.get("batch_stats", {})}
-                ),
-            )
-        variables = {"params": restored["params"],
-                     "batch_stats": restored.get("batch_stats", {})}
+        variables, _ = load_eval_variables(checkpoint_dir, dict(variables))
+        variables.setdefault("batch_stats", {})
     return model, variables, cfg
 
 
@@ -177,4 +169,17 @@ def evaluate_results(results: dict, dataset, iou_thr: float = 0.5,
         prec = tp / np.maximum(tp + fp, 1e-9)
         aps[cname] = voc_ap(rec, prec, use_07_metric)
     valid_aps = [v for v in aps.values() if not np.isnan(v)]
-    return float(np.mean(valid_aps)) if valid_aps else 0.0, aps
+    if not valid_aps:
+        # Every class has npos==0: the dataset carries no annotations at
+        # all (e.g. a test-split COCO json written by dota2coco_test,
+        # which by DOTA convention has an empty `annotations` list).
+        # A silent 0.0 here once masked a working model as mAP=0 —
+        # fail loudly instead.
+        raise ValueError(
+            "evaluate_results: no ground-truth annotations in the dataset "
+            "(all classes have npos==0). Tile-level eval needs an "
+            "annotation-bearing json (dota2coco_train output); DOTA "
+            "test-split jsons contain no annotations — evaluate those "
+            "with the devkit Task1 evaluator against labelTxt instead."
+        )
+    return float(np.mean(valid_aps)), aps

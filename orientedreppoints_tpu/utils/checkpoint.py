@@ -39,6 +39,41 @@ def save_checkpoint(ckpt_dir: str, step: int, state, meta: dict | None = None):
             json.dump({k: str(v) for k, v in meta.items()}, f)
 
 
+def load_eval_variables(ckpt_dir: str, variables, step: int | None = None):
+    """Restore only params/batch_stats for inference.
+
+    Works against both full-TrainState checkpoints (tools/train.py /
+    tools/synth_benchmark.py write params+batch_stats+opt_state+step) and
+    published params-only checkpoints (tools/publish_model.py): orbax's
+    StandardRestore refuses a template missing on-disk keys, so the
+    partial restore goes through PyTreeRestore(partial_restore=True).
+
+    Returns the `variables` dict with restored collections swapped in,
+    and the restored step (reference: mmcv load_checkpoint's
+    strict=False model-only load used by tools/test.py::main).
+    """
+    ckpt_dir = osp.abspath(ckpt_dir)
+    template = {"params": variables["params"]}
+    if variables.get("batch_stats"):
+        template["batch_stats"] = variables["batch_stats"]
+    with ocp.CheckpointManager(ckpt_dir) as mngr:
+        step = step if step is not None else mngr.latest_step()
+        restored = mngr.restore(
+            step,
+            args=ocp.args.PyTreeRestore(
+                template,
+                restore_args=ocp.checkpoint_utils.construct_restore_args(
+                    template
+                ),
+                partial_restore=True,
+            ),
+        )
+    out = {"params": restored["params"]}
+    if restored.get("batch_stats"):
+        out["batch_stats"] = restored["batch_stats"]
+    return out, step
+
+
 def load_checkpoint(ckpt_dir: str, state, step: int | None = None):
     ckpt_dir = osp.abspath(ckpt_dir)
     with ocp.CheckpointManager(ckpt_dir) as mngr:

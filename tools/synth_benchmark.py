@@ -70,9 +70,7 @@ def parse_args():
 def generate(args):
     from orientedreppoints_tpu.data import synth
     from orientedreppoints_tpu.data.synth import generate_synth_dota
-    from orientedreppoints_tpu.devkit.dota2coco import (
-        dota2coco_test, dota2coco_train,
-    )
+    from orientedreppoints_tpu.devkit.dota2coco import dota2coco_train
     from orientedreppoints_tpu.devkit.img_split import ImgSplit
 
     wd = args.work_dir
@@ -111,7 +109,12 @@ def generate(args):
     dota2coco_train(
         osp.join(wd, "train_split"), osp.join(wd, "train_split", "train.json")
     )
-    dota2coco_test(
+    # annotation-BEARING json for the val split (dota2coco_train format):
+    # the authoritative score comes from the devkit Task1 eval on labelTxt,
+    # but tools/test.py --eval / --validate tile-level eval needs gts in
+    # the json (a dota2coco_test json has an empty `annotations` list by
+    # DOTA test-split convention and silently scored mAP=0)
+    dota2coco_train(
         osp.join(wd, "val_split"), osp.join(wd, "val_split", "test.json")
     )
     return val_names

@@ -52,7 +52,10 @@ def parse_args():
 def main():
     args = parse_args()
     cfg = Config.fromfile(args.config)
-    logging.basicConfig(level=logging.INFO)
+    # force=True: jax/absl already installed a root handler at WARNING by
+    # import time, which turns a plain basicConfig into a no-op and
+    # swallows every INFO progress line
+    logging.basicConfig(level=logging.INFO, force=True)
     log = logging.getLogger("test")
 
     tpu = cfg.get("tpu", {})
@@ -65,26 +68,10 @@ def main():
         jax.random.PRNGKey(0), jnp.zeros((1,) + tuple(canvas) + (3,), jnp.float32)
     )
     if args.checkpoint:
-        from orientedreppoints_tpu.parallel import TrainState
+        from orientedreppoints_tpu.utils.checkpoint import load_eval_variables
 
-        state = TrainState(
-            step=jnp.zeros((), jnp.int32), params=variables["params"],
-            batch_stats=variables.get("batch_stats", {}), opt_state=(), tx=None,
-        )
-        # restore only params/batch_stats
-        import orbax.checkpoint as ocp
-
-        with ocp.CheckpointManager(osp.abspath(args.checkpoint)) as mngr:
-            step = mngr.latest_step()
-            restored = mngr.restore(
-                step,
-                args=ocp.args.StandardRestore(
-                    {"params": variables["params"],
-                     "batch_stats": variables.get("batch_stats", {})}
-                ),
-            )
-        variables = {"params": restored["params"],
-                     "batch_stats": restored.get("batch_stats", {})}
+        variables, step = load_eval_variables(args.checkpoint, dict(variables))
+        variables.setdefault("batch_stats", {})
         log.info("loaded checkpoint step %s from %s", step, args.checkpoint)
 
     @jax.jit
@@ -189,7 +176,9 @@ def main():
     num_fg = len(dataset.CLASSES)
     t0 = time.time()
     bs = args.batch_size
-    for lo in range(0, n, bs):
+
+    def prep_batch(lo):
+        """Host side: dataset load + canvas/aug prep for batch at `lo`."""
         idxs = list(range(lo, min(lo + bs, n)))
         imgs, sfs, names = [], [], []
         for i in idxs:
@@ -204,10 +193,11 @@ def main():
             imgs.append(np.zeros_like(imgs[0]))
             sfs.append(1.0)
             names.append(None)
-        dets, labels, valid = infer(
-            variables, jnp.asarray(np.stack(imgs)),
-            jnp.asarray(np.array(sfs, np.float32))[:, None, None],
-        )
+        return np.stack(imgs), np.array(sfs, np.float32), names
+
+    def collect(pending):
+        """Fetch a dispatched batch's outputs and bin per-image results."""
+        (dets, labels, valid), names = pending
         dets, labels, valid = map(np.asarray, (dets, labels, valid))
         for bi, name in enumerate(names):
             if name is None:
@@ -216,8 +206,25 @@ def main():
             results[name] = rbbox2result(
                 dets[bi][keep][:, -9:], labels[bi][keep], num_fg + 1
             )
+
+    # Software pipeline: JAX dispatch is async, so the device runs batch k
+    # while the host preps batch k+1; outputs of batch k are fetched only
+    # after batch k+1 is dispatched.  The serialized form pays
+    # host_prep + device per batch; this pays ~max(host_prep, device)
+    # (TTA_BENCH.json: 112 ms host prep vs 180 ms device at B=2).
+    pending = None
+    for lo in range(0, n, bs):
+        imgs, sfs, names = prep_batch(lo)
+        out = infer(
+            variables, jnp.asarray(imgs), jnp.asarray(sfs)[:, None, None],
+        )
+        if pending is not None:
+            collect(pending)
+        pending = (out, names)
         if lo == 0:
             log.info("first batch done (incl. compile) %.1fs", time.time() - t0)
+    if pending is not None:
+        collect(pending)
     dt = time.time() - t0
     log.info("%d imgs in %.1fs (%.2f img/s)", n, dt, n / max(dt, 1e-9))
 

@@ -67,6 +67,9 @@ def main():
             logging.StreamHandler(),
             logging.FileHandler(osp.join(work_dir, "train.log")),
         ],
+        # jax/absl install a root handler at import time; without
+        # force=True this call is a no-op and INFO logs are swallowed
+        force=True,
     )
     log = logging.getLogger("train")
     # env report at train start (reference collect_env parity,
