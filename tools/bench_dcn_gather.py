@@ -91,6 +91,30 @@ def main():
     print(f"  fused: {ms_fused:8.2f} ms  ({ms_fused*1e6/n_rows:.2f} ns/row"
           f" over {n_rows/1e6:.1f}M rows)  {ms_4take/ms_fused:.2f}x")
 
+    # --- instance pairing: the head's cls and refine DCNs share sampling
+    # indices but read DIFFERENT towers' tables.  Compare 8 narrow takes
+    # (two instances, overlapped) vs 4 double-width takes over the
+    # channel-concatenated tables (half the total gather rows, 2x row
+    # bytes).  Gathers are row-count bound, but row-width throughput
+    # degrades (512B ~30 -> 2KB ~70 GB/s eff) — measure which wins at 1KB.
+    feat_b2 = jnp.asarray(rng.randn(b, hw, hw, c), jnp.bfloat16)
+    feat_cat = jnp.concatenate([feat, feat_b2], axis=-1)
+
+    def two_takes(_f, py, px):
+        va = _bilinear_gather_4take(feat, py, px)
+        vb = _bilinear_gather_4take(feat_b2, py, px)
+        return va + vb  # cheap combine; gathers dominate
+
+    def paired_take(_f, py, px):
+        v = _bilinear_gather_4take(feat_cat, py, px)
+        return v[..., :c] + v[..., c:]
+
+    ms_two = time_fn(two_takes, pys, pxs)
+    ms_pair = time_fn(paired_take, pys, pxs)
+    print(f"two instances ({n_rows/1e3:.0f}k samples, C={c}):")
+    print(f"  8 narrow takes: {ms_two:8.2f} ms   4 paired (2C) takes: "
+          f"{ms_pair:8.2f} ms   {ms_two/ms_pair:.2f}x")
+
     o = offs(1)
     import os
     os.environ["ORP_DCN_GATHER"] = "4take"
