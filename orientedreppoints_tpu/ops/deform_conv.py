@@ -327,7 +327,25 @@ def deform_conv2d_pyramid(
 
 
 def _pair_corners(flat_a, flat_b, idx, ok):
-    """8 independent corner takes (4 per instance; they overlap on TPU)."""
+    """Per-corner takes for the two paired instances.
+
+    Default ("narrow"): 8 independent (N, C)-row takes — 4 per instance;
+    independent takes overlap nearly perfectly on TPU (DESIGN.md s8).
+    ORP_PAIR_GATHER=cat: channel-concatenate both tables into (rows, 2C)
+    and issue 4 (N, 2C)-row takes — half the gather rows at double the
+    row width.  Gather throughput RISES with row width (~30 GB/s @512 B
+    -> ~70 GB/s @2 KB, s8), so at C=256 bf16 (512 B -> 1 KB rows) the
+    paired form is a measurable candidate; A/B on chip via
+    tools/bench_dcn_gather.py before changing the default.
+    """
+    if os.environ.get("ORP_PAIR_GATHER", "narrow") == "cat":
+        c = flat_a.shape[-1]
+        flat_cat = jnp.concatenate([flat_a, flat_b], axis=-1)
+        v = [
+            jnp.take(flat_cat, i, axis=0) * o[:, None].astype(flat_cat.dtype)
+            for i, o in zip(idx, ok)
+        ]
+        return [x[:, :c] for x in v], [x[:, c:] for x in v]
     va = [
         jnp.take(flat_a, i, axis=0) * o[:, None].astype(flat_a.dtype)
         for i, o in zip(idx, ok)

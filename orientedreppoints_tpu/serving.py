@@ -36,6 +36,7 @@ class Predictor:
         from .apis import init_detector
         from .data.pipelines import Normalize, Pad, RotateResize
         from .models import decode_detections
+        from .parallel import data_mesh, round_up_batch, shard_infer
 
         self._jax = jax
         self._jnp = jnp
@@ -44,7 +45,11 @@ class Predictor:
         )
         tpu = self.cfg.get("tpu", {})
         self.canvas = tuple(tpu.get("canvas_buckets", [(1344, 1344)])[-1])
-        self.batch_size = batch_size
+        # multi-chip hosts: shard each batch over all local devices
+        # (multi_gpu_test equivalent; see parallel/infer.py); the bucket
+        # rounds up so the 'data' axis splits evenly
+        mesh = data_mesh()
+        self.batch_size = round_up_batch(batch_size, mesh)
         tc = dict(self.cfg.test_cfg)
         tc.update(test_cfg_overrides or {})
         norm = self.cfg.img_norm_cfg
@@ -57,7 +62,6 @@ class Predictor:
         )
         self._resize = RotateResize(img_scale=scale, keep_ratio=True)
 
-        @jax.jit
         def _infer(v, x, sf):
             outs = self.model.apply(v, x)
             return decode_detections(
@@ -67,7 +71,7 @@ class Predictor:
                 scale_factor=sf,
             )
 
-        self._infer = _infer
+        self._infer = shard_infer(_infer, mesh, batch_axes=(0, 0))
         self.num_fg = self.cfg.model["bbox_head"]["num_classes"] - 1
 
     def _prep(self, img_bgr: np.ndarray):

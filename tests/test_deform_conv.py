@@ -186,6 +186,50 @@ def test_pyramid_pair_forward_and_grads_match_autodiff(rng):
                 err_msg=f"{name}[{i}]")
 
 
+def test_pair_cat_gather_matches_narrow(rng, monkeypatch):
+    """ORP_PAIR_GATHER=cat (4 channel-paired (N, 2C)-row takes) must be
+    numerically identical to the 8-narrow-take default — forward outputs
+    and all grads (the residuals feed the combined-scatter backward)."""
+    from orientedreppoints_tpu.ops.deform_conv import (
+        deform_conv2d_pyramid_pair,
+    )
+
+    b, cin, cout = 2, 3, 2
+    shapes = [(6, 7), (3, 1), (1, 1)]
+    feats_a = [jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
+               for h, w in shapes]
+    feats_b = [jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
+               for h, w in shapes]
+    offs = [jnp.asarray((rng.randn(b, h, w, 18) * 3).astype(np.float32))
+            for h, w in shapes]
+    w_a = jnp.asarray(rng.randn(9, cin, cout).astype(np.float32) * 0.2)
+    w_b = jnp.asarray(rng.randn(9, cin, cout).astype(np.float32) * 0.2)
+    proj = [jnp.asarray(rng.randn(b, h, w, cout).astype(np.float32))
+            for h, w in shapes]
+
+    def loss(fa, fb, off, wa, wb):
+        oa, ob = deform_conv2d_pyramid_pair(fa, fb, off, wa, wb)
+        return sum((o * p).sum() for o, p in zip(oa, proj)) + sum(
+            (o * p * 0.7).sum() for o, p in zip(ob, proj))
+
+    args = (feats_a, feats_b, offs, w_a, w_b)
+    monkeypatch.setenv("ORP_PAIR_GATHER", "narrow")
+    l_narrow = float(loss(*args))
+    g_narrow = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+    monkeypatch.setenv("ORP_PAIR_GATHER", "cat")
+    l_cat = float(loss(*args))
+    g_cat = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+    np.testing.assert_allclose(l_cat, l_narrow, rtol=1e-6)
+    for name, gn, gc in zip(
+            ("feats_a", "feats_b", "offsets", "w_a", "w_b"),
+            g_narrow, g_cat):
+        for i, (x, y) in enumerate(zip(
+                jax.tree.leaves(gn), jax.tree.leaves(gc))):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-6,
+                err_msg=f"{name}[{i}]")
+
+
 def test_pair_window_scatter_matches_combined(rng, monkeypatch):
     """ORP_PAIR_SCATTER=window (2 scatters of (N, 2, 2C) x-pair windows)
     must produce identical grads to the combined per-corner form,

@@ -121,3 +121,50 @@ def test_single_process_coordinator_init():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "DIST_OK 1" in proc.stdout
+
+
+def test_sharded_inference_matches_single_device():
+    """parallel.shard_infer (the multi_gpu_test equivalent in
+    tools/test.py / serving.Predictor): batch-sharded decode over the
+    8-device virtual mesh must return exactly the single-device
+    outputs — the path has no collectives, so any divergence is a
+    sharding-spec bug."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orientedreppoints_tpu.models import (
+        OrientedRepPointsDetector, decode_detections,
+    )
+    from orientedreppoints_tpu.parallel import (
+        data_mesh, round_up_batch, shard_infer,
+    )
+
+    mesh = data_mesh()
+    assert mesh is not None and mesh.size == 8
+
+    model = OrientedRepPointsDetector(depth=18, num_classes=16)
+    imgs0 = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs0)
+
+    def infer_core(v, x, sf):
+        # small caps: the default pre_nms_cap makes the unrolled
+        # suppression scan a multi-minute CPU compile
+        return decode_detections(
+            model.apply(v, x), max_per_img=50, nms_pre=100,
+            pre_nms_cap=256, scale_factor=sf,
+        )
+
+    bs = round_up_batch(3, mesh)
+    assert bs == 8
+    r = np.random.RandomState(0)
+    imgs = jnp.asarray(r.rand(bs, 128, 128, 3).astype(np.float32))
+    sf = jnp.asarray(
+        (0.5 + r.rand(bs)).astype(np.float32))[:, None, None]
+
+    single = jax.jit(infer_core)(variables, imgs, sf)
+    sharded = shard_infer(infer_core, mesh, batch_axes=(0, 0))(
+        variables, imgs, sf)
+    for name, a, b in zip(("dets", "labels", "valid"), single, sharded):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name)

@@ -20,6 +20,18 @@ import time
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 import jax
+
+# ORP_PLATFORM=cpu forces CPU even under the axon site hook (which
+# overrides the JAX_PLATFORMS env var) — used by the CLI smoke tests and
+# for smoke runs while the chip is busy (same contract as
+# tools/synth_benchmark.py)
+if os.environ.get("ORP_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["ORP_PLATFORM"])
+if os.environ.get("ORP_JAX_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["ORP_JAX_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -64,6 +76,16 @@ def main():
     tc = cfg.test_cfg
     canvas = tpu.get("canvas_buckets", [(1344, 1344)])[-1]
 
+    # multi-chip: shard the image batch over all local devices
+    # (multi_gpu_test equivalent; see parallel/infer.py)
+    from orientedreppoints_tpu.parallel import (
+        data_mesh, round_up_batch, shard_infer,
+    )
+
+    mesh = data_mesh()
+    if mesh is not None:
+        log.info("data-parallel inference over %d devices", mesh.size)
+
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1,) + tuple(canvas) + (3,), jnp.float32)
     )
@@ -74,8 +96,7 @@ def main():
         variables.setdefault("batch_stats", {})
         log.info("loaded checkpoint step %s from %s", step, args.checkpoint)
 
-    @jax.jit
-    def infer(v, imgs, scale_factor):
+    def _infer_core(v, imgs, scale_factor):
         outs = model.apply(v, imgs)
         return decode_detections(
             outs,
@@ -83,8 +104,11 @@ def main():
             score_thr=tc["score_thr"],
             iou_thr=tc["nms"]["iou_thr"],
             max_per_img=tc["max_per_img"],
+            pre_nms_cap=tc.get("pre_nms_cap", 4096),
             scale_factor=scale_factor,
         )
+
+    infer = shard_infer(_infer_core, mesh, batch_axes=(0, 0))
 
     # TTA spec: list of (relative_scale, flip) augs (MultiScaleFlipAug
     # parity: every scale, optionally x both orientations)
@@ -107,8 +131,7 @@ def main():
         num_augs = len(tta_augs)
         aug_flips = [f for _, f in tta_augs]
 
-        @jax.jit
-        def infer_tta(v, imgs_augs, sf_augs):
+        def _infer_tta_core(v, imgs_augs, sf_augs):
             """imgs_augs: (A, B, H, W, 3) canvases; sf_augs: (A, B)."""
             boxes_a, scores_a = [], []
             for ai, flip in enumerate(aug_flips):
@@ -137,6 +160,8 @@ def main():
             return jax.lax.map(
                 per_image, (boxes_all, scores_all, sf_augs.T)
             )
+
+        infer_tta = shard_infer(_infer_tta_core, mesh, batch_axes=(1, 1))
 
         def infer(v, imgs, scale_factor):
             """Build per-aug canvases host-side, run the jitted TTA path.
@@ -175,7 +200,10 @@ def main():
     results = {}
     num_fg = len(dataset.CLASSES)
     t0 = time.time()
-    bs = args.batch_size
+    bs = round_up_batch(args.batch_size, mesh)
+    if bs != args.batch_size:
+        log.info("batch_size %d -> %d (multiple of %d devices)",
+                 args.batch_size, bs, mesh.size)
 
     def prep_batch(lo):
         """Host side: dataset load + canvas/aug prep for batch at `lo`."""

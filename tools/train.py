@@ -19,6 +19,17 @@ import time
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 import jax
+
+# ORP_PLATFORM=cpu forces CPU even under the axon site hook (which
+# overrides the JAX_PLATFORMS env var); same contract as
+# tools/synth_benchmark.py
+if os.environ.get("ORP_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["ORP_PLATFORM"])
+if os.environ.get("ORP_JAX_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["ORP_JAX_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
