@@ -206,6 +206,7 @@ def merge_aug_and_nms(
     score_thr: float = 0.05,
     iou_thr: float = 0.4,
     max_per_img: int = 2000,
+    pre_nms_cap: int = 4096,
 ):
     """Multi-scale / flip TTA merge: map each aug's boxes back to the
     original image frame, concat, one rotated NMS.
@@ -238,5 +239,6 @@ def merge_aug_and_nms(
     boxes = jnp.concatenate(recovered, axis=0)
     scores = jnp.concatenate(aug_scores, axis=0)
     return multiclass_rnms(
-        boxes, scores, score_thr, iou_thr, max_per_img, reppoints=None
+        boxes, scores, score_thr, iou_thr, max_per_img, reppoints=None,
+        pre_nms_cap=pre_nms_cap,
     )

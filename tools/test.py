@@ -155,6 +155,7 @@ def main():
                     [sf[a] for a in range(num_augs)],
                     score_thr=tc["score_thr"], iou_thr=tc["nms"]["iou_thr"],
                     max_per_img=tc["max_per_img"],
+                    pre_nms_cap=tc.get("pre_nms_cap", 4096),
                 )
 
             return jax.lax.map(
