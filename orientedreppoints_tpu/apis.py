@@ -47,10 +47,18 @@ def run_inference(
     model, variables, dataset, test_cfg, canvas=(1344, 1344),
     batch_size: int = 4, max_images: int | None = None, num_fg: int = 15,
 ):
-    """Inference over a dataset -> {image_name: [per-class (k, 9) arrays]}."""
+    """Inference over a dataset -> {image_name: [per-class (k, 9) arrays]}.
 
-    @jax.jit
-    def infer(v, imgs, scale_factor):
+    On multi-device hosts the batch is sharded over all local devices
+    (parallel/infer.py, the multi_gpu_test equivalent); single-device
+    graphs are unchanged.
+    """
+    from .parallel import data_mesh, round_up_batch, shard_infer
+
+    mesh = data_mesh()
+    batch_size = round_up_batch(batch_size, mesh)
+
+    def _infer_core(v, imgs, scale_factor):
         outs = model.apply(v, imgs)
         return decode_detections(
             outs,
@@ -58,8 +66,11 @@ def run_inference(
             score_thr=test_cfg["score_thr"],
             iou_thr=test_cfg["nms"]["iou_thr"],
             max_per_img=test_cfg["max_per_img"],
+            pre_nms_cap=test_cfg.get("pre_nms_cap", 4096),
             scale_factor=scale_factor,
         )
+
+    infer = shard_infer(_infer_core, mesh, batch_axes=(0, 0))
 
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
     results = {}

@@ -87,3 +87,44 @@ class TestDifficultSemantics:
         }
         mAP, aps = evaluate_results(results, ds, use_07_metric=False)
         assert 0.99 < aps["plane"] <= 1.0  # recall 1 at rank 1; FP after
+
+
+class TestRunInferenceSharded:
+    def test_run_inference_over_mesh(self):
+        """apis.run_inference (the --validate EvalHook path) shards the
+        batch over the virtual 8-device mesh and honors pre_nms_cap;
+        results keyed by image name, padded rows dropped."""
+        import jax
+
+        from orientedreppoints_tpu.apis import run_inference
+        from orientedreppoints_tpu.models import OrientedRepPointsDetector
+
+        class TinyDs:
+            def __init__(self, n):
+                self.n = n
+                self.r = np.random.RandomState(0)
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, i):
+                return {
+                    "img": self.r.rand(64, 64, 3).astype(np.float32),
+                    "scale_factor": 1.0,
+                    "img_info": {"file_name": f"im{i}.png"},
+                }
+
+        model = OrientedRepPointsDetector(depth=18, num_classes=16)
+        import jax.numpy as jnp
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+        tc = dict(nms_pre=50, score_thr=0.05,
+                  nms=dict(iou_thr=0.4), max_per_img=10, pre_nms_cap=64)
+        # batch_size 3 -> rounded to 8 internally (8-device mesh)
+        results = run_inference(
+            model, variables, TinyDs(3), tc, canvas=(64, 64), batch_size=3)
+        assert set(results) == {"im0", "im1", "im2"}
+        for per_class in results.values():
+            assert len(per_class) == 15  # per-foreground-class arrays
+            for arr in per_class:
+                assert arr.ndim == 2 and arr.shape[1] == 9
