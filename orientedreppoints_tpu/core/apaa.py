@@ -73,6 +73,30 @@ def compact_positives(gt_inds, level_ids, max_pos: int) -> PosCandidates:
     )
 
 
+def feature_dissimilarity(pts_features: jnp.ndarray) -> jnp.ndarray:
+    """Point-feature dissimilarity term (feature_cosine_similarity,
+    orientedreppoints_head.py:576-600): max over the 9 points of
+    (1 - cos similarity to the mean point feature), with the reference's
+    1e-2 norm clamp and the CosineSimilarity 1e-6 denominator floor
+    applied to the re-normalized vectors.
+
+    pts_features: (P, 9, C) sampled refine-point features -> (P,) f32.
+    """
+    feats = pts_features.astype(jnp.float32)  # (P, 9, C)
+    mean_f = jnp.mean(feats, axis=1, keepdims=True)
+    norm_f = jnp.clip(jnp.linalg.norm(feats, axis=2, keepdims=True), min=1e-2)
+    norm_m = jnp.clip(jnp.linalg.norm(mean_f, axis=2, keepdims=True), min=1e-2)
+    u = feats / norm_f
+    um = mean_f / norm_m
+    # torch CosineSimilarity on the re-normalized vectors (norms ~1)
+    dot = jnp.sum(u * um, axis=2)
+    denom = jnp.maximum(
+        jnp.linalg.norm(u, axis=2) * jnp.linalg.norm(um, axis=2), 1e-6
+    )
+    dissim = 1.0 - dot / denom  # (P, 9)
+    return jnp.max(dissim, axis=1)
+
+
 def quality_assessment(
     cand: PosCandidates,
     cls_scores,  # (N, C) logits
@@ -107,20 +131,7 @@ def quality_assessment(
     qua_loc_init = 1.0 - convex_giou(init_p, gt_q)
     qua_loc_refine = 1.0 - convex_giou(refine_p, gt_q)
 
-    # point-feature dissimilarity (:576-600)
-    feats = pts_features.astype(jnp.float32)  # (P, 9, C)
-    mean_f = jnp.mean(feats, axis=1, keepdims=True)
-    norm_f = jnp.clip(jnp.linalg.norm(feats, axis=2, keepdims=True), min=1e-2)
-    norm_m = jnp.clip(jnp.linalg.norm(mean_f, axis=2, keepdims=True), min=1e-2)
-    u = feats / norm_f
-    um = mean_f / norm_m
-    # torch CosineSimilarity on the re-normalized vectors (norms ~1)
-    dot = jnp.sum(u * um, axis=2)
-    denom = jnp.maximum(
-        jnp.linalg.norm(u, axis=2) * jnp.linalg.norm(um, axis=2), 1e-6
-    )
-    dissim = 1.0 - dot / denom  # (P, 9)
-    feat_q = jnp.max(dissim, axis=1)
+    feat_q = feature_dissimilarity(pts_features)
 
     q = (
         qua_cls

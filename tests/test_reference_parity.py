@@ -1519,3 +1519,62 @@ class TestRbboxFlipParity:
         finally:
             sys.modules.clear()
             sys.modules.update(saved)
+
+
+# ---------------------------------------------------------------------------
+# APAA feature-quality term + its grid_sample feature sampling, verbatim
+# ---------------------------------------------------------------------------
+
+
+class TestFeatureCosineParity:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_dissimilarity_matches_reference(self, ref_head, seed):
+        """feature_cosine_similarity (orientedreppoints_head.py:576-600)
+        executed verbatim on random point features — incl. the 1e-2 norm
+        clamp (exercised by near-zero rows) — vs our feature_dissimilarity."""
+        import jax.numpy as jnp
+        from orientedreppoints_tpu.core.apaa import feature_dissimilarity
+
+        rng = np.random.RandomState(seed)
+        feats = rng.randn(32, 9, 256).astype(np.float32)
+        feats[3] *= 1e-4  # trip the min=1e-2 norm clamp
+        feats[7, 4] = 0.0  # one exactly-zero point feature
+
+        ns = types.SimpleNamespace()
+        want = ref_head.OrientedRepPointsHead.feature_cosine_similarity(
+            ns, torch.from_numpy(feats)).numpy()
+        got = np.asarray(feature_dissimilarity(jnp.asarray(feats)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestAdaptivePointsFeatureParity:
+    @pytest.mark.parametrize("stride", [8, 32])
+    def test_grid_sample_matches_reference(self, ref_head, stride):
+        """get_adaptive_points_feature (orientedreppoints_head.py:495-520,
+        torch grid_sample align_corners=False zero-padding) executed verbatim
+        vs our sample_point_features bilinear gather at loc/stride - 0.5 —
+        including out-of-image locations (zero padding)."""
+        import jax.numpy as jnp
+        from orientedreppoints_tpu.core.loss_head import sample_point_features
+
+        rng = np.random.RandomState(0)
+        b, hw, c, p = 2, 16, 8, 24
+        feats_nchw = rng.randn(b, c, hw, hw).astype(np.float32)
+        img = hw * stride
+        # locations spanning the image, a margin outside, and exact corners
+        locs = (rng.rand(b, p, 9, 2) * (img * 1.2) - img * 0.1).astype(
+            np.float32)
+        locs[0, 0, 0] = (0.0, 0.0)
+        locs[0, 0, 1] = (img - 1.0, img - 1.0)
+        locs = locs.reshape(b, p, 18)
+
+        ns = types.SimpleNamespace()
+        (want_t,) = ref_head.OrientedRepPointsHead.get_adaptive_points_feature(
+            ns, torch.from_numpy(feats_nchw), torch.from_numpy(locs), stride)
+        want = want_t.numpy().transpose(0, 2, 3, 1)  # (b, P, 9, c)
+
+        feats_nhwc = jnp.asarray(feats_nchw.transpose(0, 2, 3, 1))
+        got = np.asarray(sample_point_features(
+            [feats_nhwc], jnp.asarray(locs),
+            jnp.zeros((b, p), jnp.int32), [stride]))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
