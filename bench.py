@@ -78,11 +78,38 @@ def main():
     dt = time.time() - t0
     patches_per_s = BATCH * ITERS / dt
 
+    # FLOPs/MFU from XLA's cost analysis of the SAME jitted executable
+    # (jit caches by (fn, shapes), so .lower().compile() here reuses the
+    # compilation from the call above — the timed graph is untouched)
+    extra = {}
+    try:
+        comp = infer_many.lower(variables, timed_batches).compile()
+        ca = comp.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            kind = jax.devices()[0].device_kind.lower()
+            # bf16 peak TFLOP/s per chip (public spec sheets)
+            peaks = {"v4": 275e12, "v5 lite": 197e12, "v5e": 197e12,
+                     "v5p": 459e12, "v6e": 918e12, "v6 lite": 918e12}
+            peak = next((v for k, v in peaks.items() if k in kind), 197e12)
+            achieved = flops / dt
+            extra = {
+                "total_gflops": round(flops / 1e9, 1),
+                "gflops_per_patch": round(flops / 1e9 / (BATCH * ITERS), 1),
+                "achieved_tflops_per_s": round(achieved / 1e12, 2),
+                "mfu_pct": round(100.0 * achieved / peak, 2),
+                "device_kind": jax.devices()[0].device_kind,
+            }
+    except Exception as e:  # cost analysis is reporting-only, never fatal
+        extra = {"cost_analysis_error": str(e)[:120]}
+
     print(json.dumps({
         "metric": "r50_1024px_inference_throughput",
         "value": round(patches_per_s, 2),
         "unit": "patches/s/chip",
         "vs_baseline": round(patches_per_s / V100_BASELINE_PATCHES_PER_S, 3),
+        **extra,
     }))
 
 

@@ -188,16 +188,36 @@ def hbb_iou_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(union, 1e-9)
 
 
-def _greedy_suppress(iou, scores, iou_thr, valid):
+def hbb_iou_matrix_legacy(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise horizontal-box IoU in the reference CPU kernels' legacy
+    integer-pixel convention: width/height/areas computed with +1
+    (mmdet/ops/nms/src/nms_cpu.cpp:19,52-53).  Only the nms_hbb /
+    soft_nms_hbb parity paths use this; everything else uses the
+    continuous-coordinate `hbb_iou_matrix`."""
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt + 1.0, min=0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0] + 1.0) * (a[:, 3] - a[:, 1] + 1.0)
+    area_b = (b[:, 2] - b[:, 0] + 1.0) * (b[:, 3] - b[:, 1] + 1.0)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def _greedy_suppress(iou, scores, iou_thr, valid, inclusive: bool = False):
     """Shared greedy scan over a precomputed pairwise IoU matrix.
 
+    inclusive=True suppresses at IoU >= thr (the reference horizontal
+    nms_cpu.cpp:56 convention); the rotated kernels use strict >
+    (rnms_cpu.cpp:277, rnms_kernel.cu).
     Returns keep (N,) bool in the ORIGINAL order.
     """
     n = scores.shape[0]
     order = jnp.argsort(jnp.where(valid, scores, _NEG))[::-1]
     siou = iou[order][:, order]
     svalid = valid[order]
-    keep_sorted = greedy_scan_sorted(siou > iou_thr, svalid)
+    over = (siou >= iou_thr) if inclusive else (siou > iou_thr)
+    keep_sorted = greedy_scan_sorted(over, svalid)
     return jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
 
 
@@ -207,12 +227,15 @@ def nms_hbb(
     iou_thr: float,
     valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Greedy horizontal NMS on device (reference nms_wrapper.py:11-70's
-    nms() entry, fixed-shape TPU formulation). Returns keep mask."""
+    """Greedy horizontal NMS on device (reference nms_wrapper.py:7-60's
+    nms() entry -> nms_cpu.cpp kernel, fixed-shape TPU formulation):
+    legacy +1 pixel areas and inclusive (IoU >= thr) suppression, matching
+    nms_cpu.cpp:19,56 exactly.  Returns keep mask in the original order.
+    """
     if valid is None:
         valid = jnp.ones((boxes.shape[0],), dtype=bool)
-    return _greedy_suppress(hbb_iou_matrix(boxes, boxes), scores, iou_thr,
-                            valid)
+    return _greedy_suppress(hbb_iou_matrix_legacy(boxes, boxes), scores,
+                            iou_thr, valid, inclusive=True)
 
 
 def _soft_suppress(
@@ -304,14 +327,15 @@ def soft_nms_hbb(
     max_keep: int | None = None,
 ):
     """Horizontal soft-NMS on device (reference soft_nms entry,
-    nms_wrapper.py:120-175; defaults mirror it: method='linear',
-    iou_thr=0.3, sigma=0.5, min_score=1e-3).
+    nms_wrapper.py:63-118 -> nms_cpu.cpp soft_nms kernel; defaults mirror
+    it: method='linear', iou_thr=0.3, sigma=0.5, min_score=1e-3).  Uses
+    the kernel's legacy +1 pixel-area IoU (nms_cpu.cpp:85,153-156).
 
     Returns (decayed_scores (N,), keep (N,) bool).
     """
     if valid is None:
         valid = jnp.ones((boxes.shape[0],), dtype=bool)
-    iou = hbb_iou_matrix(boxes, boxes)
+    iou = hbb_iou_matrix_legacy(boxes, boxes)
     return _soft_suppress(iou, scores, valid, method, sigma, iou_thr,
                           min_score, max_keep)
 

@@ -123,6 +123,102 @@ def test_single_process_coordinator_init():
     assert "DIST_OK 1" in proc.stdout
 
 
+def test_flagship_dp_loss_invariance():
+    """Flagship-configuration DP invariance (moved here from the driver's
+    dryrun_multichip, which is now sized for the driver's time budget):
+    the FULL R-50@512 train step — max_gt 64 / max_pos 1024 full-APAA
+    loss, SGD + clip-35 + frozen stage 1 — jitted over the 8-device
+    'data' mesh must produce the same loss as a single-device evaluation
+    of the identical global batch (psum'd shard-mean == local mean, the
+    reference's DDP allreduce semantics, mmdet/apis/train.py:115-145 and
+    mmdet/core/utils/dist_utils.py:9-56).
+
+    The comparison graph is loss-only: the assert is on the loss value,
+    so compiling a second flagship backward buys nothing.  This is the
+    most expensive compile in the suite (~8 min cold cache on a 1-CPU
+    host; seconds warm) — everything it covers at small scale also runs
+    in test_train.py::test_dp_loss_invariance.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from orientedreppoints_tpu.core.loss_head import (
+        LossConfig, compute_losses,
+    )
+    from orientedreppoints_tpu.models import OrientedRepPointsDetector
+    from orientedreppoints_tpu.parallel import (
+        TrainState, build_optimizer, lr_schedule, make_train_step,
+    )
+    from orientedreppoints_tpu.parallel.train import default_frozen_prefixes
+
+    img, max_gt, b = 512, 64, 8
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    model = OrientedRepPointsDetector(depth=50, num_classes=16)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3), jnp.float32)
+    )
+    tx = build_optimizer(
+        variables["params"], lr_schedule(iters_per_epoch=100),
+        frozen_prefixes=default_frozen_prefixes(1),
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+    )
+    cfg = LossConfig(max_pos=1024)
+    # the train step donates its input state; keep variable copies for the
+    # single-device comparison below
+    vars_single = jax.tree.map(jnp.copy, variables)
+
+    rng = np.random.RandomState(0)
+    gt = np.zeros((b, max_gt, 8), np.float32)
+    lb = np.zeros((b, max_gt), np.int32)
+    gv = np.zeros((b, max_gt), bool)
+    for i in range(b):
+        for j in range(24):
+            cx, cy = rng.rand(2) * (img - 120) + 60
+            w, h = rng.rand(2) * 60 + 12
+            a = rng.rand() * np.pi
+            c, s = np.cos(a), np.sin(a)
+            rot = np.array([[-w / 2, -h / 2], [w / 2, -h / 2],
+                            [w / 2, h / 2], [-w / 2, h / 2]])
+            gt[i, j] = ((rot @ [[c, s], [-s, c]]) + [cx, cy]).reshape(-1)
+            lb[i, j] = rng.randint(1, 16)
+            gv[i, j] = True
+    batch = {
+        "images": jnp.asarray(rng.rand(b, img, img, 3).astype(np.float32)),
+        "gt_polys": jnp.asarray(gt),
+        "gt_labels": jnp.asarray(lb),
+        "gt_valid": jnp.asarray(gv),
+        "img_hw": jnp.full((b, 2), img, jnp.int32),
+    }
+    step_fn = make_train_step(model, cfg, mesh=mesh)
+    state2, losses = step_fn(state, batch)
+    total = float(losses["loss_total"])
+    assert np.isfinite(total), losses
+    assert int(state2.step) == 1
+
+    def loss_only(v, bt):
+        # replicate the step's rng derivation (no-op for dropout-free R-50)
+        rng_d = jax.random.fold_in(
+            jax.random.key(0), jnp.zeros((), jnp.int32))
+        outs = model.apply(
+            v, bt["images"], deterministic=False, rngs={"dropout": rng_d})
+        ls = compute_losses(
+            outs, bt["gt_polys"], bt["gt_labels"], bt["gt_valid"],
+            bt["img_hw"], cfg)
+        return sum(v for k, v in ls.items() if k.startswith("loss"))
+
+    total_1 = float(jax.jit(loss_only)(vars_single, batch))
+    tol = 2e-5 * max(1.0, abs(total_1))
+    assert abs(total - total_1) <= tol, (total, total_1, tol)
+
+
 def test_sharded_inference_matches_single_device():
     """parallel.shard_infer (the multi_gpu_test equivalent in
     tools/test.py / serving.Predictor): batch-sharded decode over the

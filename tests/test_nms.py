@@ -125,15 +125,17 @@ def ref_soft_nms(iou_mat, scores, method, iou_thr, sigma, min_score):
 
 class TestSoftNms:
     def test_hbb_matches_sequential(self, rng):
-        from orientedreppoints_tpu.ops.nms import hbb_iou_matrix, soft_nms_hbb
+        from orientedreppoints_tpu.ops.nms import (
+            hbb_iou_matrix_legacy, soft_nms_hbb,
+        )
 
         for method in ("linear", "gaussian"):
             xy = rng.rand(40, 2) * 150
             wh = rng.rand(40, 2) * 60 + 10
             boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
             scores = rng.rand(40).astype(np.float32)
-            iou = np.asarray(hbb_iou_matrix(jnp.asarray(boxes),
-                                            jnp.asarray(boxes)))
+            iou = np.asarray(hbb_iou_matrix_legacy(jnp.asarray(boxes),
+                                                   jnp.asarray(boxes)))
             want_s, want_k = ref_soft_nms(iou, scores, method, 0.3, 0.5, 1e-3)
             got_s, got_k = soft_nms_hbb(
                 jnp.asarray(boxes), jnp.asarray(scores), method=method

@@ -63,6 +63,12 @@ def parse_args():
                         "checkpoint and exit (rc=3) without evaluating; "
                         "chunked runs bound the axon-runtime host-RSS leak "
                         "(~25 MB/step held per H2D transfer)")
+    p.add_argument("--rss_limit_gb", type=float, default=60.0,
+                   help="auto-chunking: at an epoch boundary with host RSS "
+                        "past this, checkpoint and re-exec with "
+                        "--resume --skip_gen (utils/chunked.py) — a long "
+                        "run is ONE command despite the axon H2D leak; "
+                        "<=0 disables")
     p.add_argument("--log_interval", type=int, default=50)
     return p.parse_args()
 
@@ -129,7 +135,7 @@ def train(args, cfg):
         TrainState, build_optimizer, lr_schedule, make_train_step,
     )
     from orientedreppoints_tpu.parallel.train import default_frozen_prefixes
-    from orientedreppoints_tpu.utils import builder, checkpoint
+    from orientedreppoints_tpu.utils import builder, checkpoint, chunked
 
     tpu = cfg.get("tpu", {})
     model = builder.build_detector(cfg, tpu.get("compute_dtype", "bfloat16"))
@@ -226,6 +232,18 @@ def train(args, cfg):
             last_saved = epoch + 1
         if args.max_steps and it >= args.max_steps:
             break
+        if epoch + 1 < end_epoch:
+
+            def _save(ep=epoch + 1):
+                if last_saved != ep:
+                    checkpoint.save_checkpoint(
+                        ckpt_dir, ep, state, meta={**meta, "epoch": ep})
+
+            chunked.maybe_reexec(
+                args.rss_limit_gb, _save,
+                lambda argv: chunked.argv_with_flags(
+                    argv, ensure=["--resume", "--skip_gen"]),
+            )
     if last_saved != end_epoch:
         checkpoint.save_checkpoint(
             ckpt_dir, end_epoch, state, meta={**meta, "epoch": end_epoch},

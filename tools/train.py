@@ -38,7 +38,7 @@ from orientedreppoints_tpu.parallel import (
     TrainState, build_optimizer, lr_schedule, make_train_step,
 )
 from orientedreppoints_tpu.parallel.train import default_frozen_prefixes
-from orientedreppoints_tpu.utils import Config, builder, checkpoint
+from orientedreppoints_tpu.utils import Config, builder, checkpoint, chunked
 
 
 def parse_args():
@@ -55,6 +55,11 @@ def parse_args():
     p.add_argument("--validate", action="store_true",
                    help="run the EvalHook-equivalent per-epoch val mAP")
     p.add_argument("--val_max_images", type=int, default=500)
+    p.add_argument("--rss_limit_gb", type=float, default=60.0,
+                   help="auto-chunking: at an epoch boundary with host RSS "
+                        "past this, re-exec with --resume_from <ckpt_dir> "
+                        "(utils/chunked.py) — one-command long runs despite "
+                        "the axon H2D host-RSS leak; <=0 disables")
     return p.parse_args()
 
 
@@ -187,6 +192,14 @@ def main():
                                  if not np.isnan(v)}))
         if args.max_iters and it >= args.max_iters:
             break
+        if epoch + 1 < total_epochs:
+            # per-epoch checkpoint already saved above -> save_fn is a no-op
+            chunked.maybe_reexec(
+                args.rss_limit_gb, lambda: None,
+                lambda argv: chunked.argv_with_flags(
+                    argv, ensure_kv={"--resume_from": ckpt_dir}),
+                log=log.info,
+            )
     log.info("training finished at iter %d", it)
 
 
