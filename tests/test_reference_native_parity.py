@@ -52,6 +52,19 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+def _restore_sys_modules(saved):
+    """Surgical sys.modules restore (same rationale as the helper in
+    test_reference_parity.py): drop only modules whose root package did
+    not exist at fixture setup; blanket clear()+update purged
+    lazily-imported jax internals and broke later re-imports."""
+    for k in list(sys.modules):
+        if k not in saved and k.split(".", 1)[0] not in saved:
+            del sys.modules[k]
+    for k, v in saved.items():
+        if sys.modules.get(k) is not v:
+            sys.modules[k] = v
+
+
 def _cpp_ext(name: str, source: str):
     from torch.utils import cpp_extension
 
@@ -373,8 +386,7 @@ def ref_bbox_nms(ref_rnms):
         spec.loader.exec_module(mod)
         yield mod
     finally:
-        sys.modules.clear()
-        sys.modules.update(saved)
+        _restore_sys_modules(saved)
 
 
 class TestMulticlassRnmsParity:

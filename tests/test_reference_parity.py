@@ -65,6 +65,24 @@ def _pkg(fullname: str, path: str | None = None):
     return mod
 
 
+def _restore_sys_modules(saved):
+    """Surgical sys.modules restore for the shim fixtures.
+
+    Drops modules added since `saved` whose ROOT package did not exist
+    then (our stubs and importlib-loaded reference modules), keeps
+    genuinely new submodules of real packages, and restores overwritten
+    entries.  A blanket clear()+update(saved) purged lazily-imported jax
+    internals (jax._src.pallas.*) at mid-module fixture teardown, and the
+    next in-test `from .pallas_minarearect import ...` re-import then
+    crashed against the stale jax parent."""
+    for k in list(sys.modules):
+        if k not in saved and k.split(".", 1)[0] not in saved:
+            del sys.modules[k]
+    for k, v in saved.items():
+        if sys.modules.get(k) is not v:
+            sys.modules[k] = v
+
+
 @pytest.fixture(scope="class")
 def ref_point_assigner():
     """Load the reference PointAssigner with its real AssignResult.
@@ -94,8 +112,7 @@ def ref_point_assigner():
         yield mod
     finally:
         torch.Tensor.cuda = saved_cuda
-        sys.modules.clear()
-        sys.modules.update(saved)
+        _restore_sys_modules(saved)
 
 
 @pytest.fixture(scope="module")
@@ -153,8 +170,7 @@ def ref_head():
         )
         yield mod
     finally:
-        sys.modules.clear()
-        sys.modules.update(saved)
+        _restore_sys_modules(saved)
 
 
 def _grid_points(img, strides):
@@ -321,8 +337,7 @@ class TestRboxTransformParity:
             return _load("reftransforms",
                          osp.join(REF, "mmdet/core/bbox/transforms.py")), saved
         except BaseException:
-            sys.modules.clear()
-            sys.modules.update(saved)
+            _restore_sys_modules(saved)
             raise
 
     def test_rbox2poly_poly2rbox_best_begin(self):
@@ -366,8 +381,7 @@ class TestRboxTransformParity:
         finally:
             if not had_float:
                 del np.float
-            sys.modules.clear()
-            sys.modules.update(saved)
+            _restore_sys_modules(saved)
 
 
 def _mmcv_shim():
@@ -441,8 +455,7 @@ def ref_pipelines():
                     osp.join(REF, "mmdet/datasets/pipelines/transforms.py"))
         yield mod
     finally:
-        sys.modules.clear()
-        sys.modules.update(saved)
+        _restore_sys_modules(saved)
 
 
 class TestPipelineParity:
@@ -504,8 +517,7 @@ def ref_voc_eval():
                     osp.join(REF, "DOTA_devkit/dota_evaluation_task1.py"))
         yield mod
     finally:
-        sys.modules.clear()
-        sys.modules.update(saved)
+        _restore_sys_modules(saved)
 
 
 class TestVocEvalParity:
@@ -630,8 +642,7 @@ def ref_resnet():
                     osp.join(REF, "mmdet/models/backbones/resnet.py"))
         yield mod
     finally:
-        sys.modules.clear()
-        sys.modules.update(saved)
+        _restore_sys_modules(saved)
 
 
 def _randomize_state_dict(net, rng):
@@ -732,8 +743,7 @@ def ref_swin():
                                   "swin_transformer.py"))
         yield mod
     finally:
-        sys.modules.clear()
-        sys.modules.update(saved)
+        _restore_sys_modules(saved)
 
 
 class TestSwinFeatureParity:
@@ -802,8 +812,7 @@ def ref_ucas_eval():
             if not had_bool:
                 del np.bool
     finally:
-        sys.modules.clear()
-        sys.modules.update(saved)
+        _restore_sys_modules(saved)
 
 
 class TestUcasAodEvalParity:
@@ -880,8 +889,7 @@ def ref_maoe():
             for a in missing:
                 delattr(np, a)
     finally:
-        sys.modules.clear()
-        sys.modules.update(saved)
+        _restore_sys_modules(saved)
 
 
 class TestMaoeParity:
@@ -1074,8 +1082,7 @@ class TestGiouLossParity:
             np.testing.assert_allclose(got_grad, want_grad, rtol=1e-4,
                                        atol=1e-7)
         finally:
-            sys.modules.clear()
-            sys.modules.update(saved)
+            _restore_sys_modules(saved)
 
 
 @pytest.fixture(scope="module")
@@ -1109,8 +1116,7 @@ def ref_result_merge():
                     osp.join(REF, "DOTA_devkit/ResultMerge_multi_process.py"))
         yield mod
     finally:
-        sys.modules.clear()
-        sys.modules.update(saved)
+        _restore_sys_modules(saved)
 
 
 class TestResultMergeParity:
@@ -1262,8 +1268,7 @@ def ref_pointset_target():
         )
     finally:
         torch.Tensor.cuda = saved_cuda
-        sys.modules.clear()
-        sys.modules.update(saved)
+        _restore_sys_modules(saved)
 
 
 def _proposal_sets(rng, points, gts, n_plant=40):
@@ -1453,8 +1458,7 @@ def ref_border_loss():
         )
         yield mod
     finally:
-        sys.modules.clear()
-        sys.modules.update(saved)
+        _restore_sys_modules(saved)
 
 
 class TestSpatialBorderLossParity:
@@ -1521,8 +1525,7 @@ class TestRbboxFlipParity:
                 got = rbbox_mapping_back(polys, shape, sf, flip, d)
                 np.testing.assert_allclose(got, want, rtol=1e-6)
         finally:
-            sys.modules.clear()
-            sys.modules.update(saved)
+            _restore_sys_modules(saved)
 
 
 # ---------------------------------------------------------------------------
@@ -1634,8 +1637,7 @@ def ref_focal_loss():
                     osp.join(base, "focal_loss.py"))
         yield mod
     finally:
-        sys.modules.clear()
-        sys.modules.update(saved)
+        _restore_sys_modules(saved)
 
 
 @pytest.fixture(scope="module")
@@ -1682,8 +1684,7 @@ def ref_giou_loss():
         mod = _load("refgiou.losses.iou_loss", osp.join(base, "iou_loss.py"))
         yield mod
     finally:
-        sys.modules.clear()
-        sys.modules.update(saved)
+        _restore_sys_modules(saved)
 
 
 @pytest.fixture(scope="module")
@@ -1714,8 +1715,7 @@ def ref_chamfer():
                     osp.join(REF, "mmdet/ops/chamfer_distance.py"))
         yield mod
     finally:
-        sys.modules.clear()
-        sys.modules.update(saved)
+        _restore_sys_modules(saved)
 
 
 def _cv2_minarearect(pts_t):

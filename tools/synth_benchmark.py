@@ -187,7 +187,6 @@ def train(args, cfg):
                               img_norm=img_norm)
 
     import gc
-    import resource
 
     ckpt_dir = osp.join(args.work_dir, "ckpts")
     meta = dict(config=cfg.text, classes=list(dataset.CLASSES))
@@ -218,8 +217,9 @@ def train(args, cfg):
                 float(losses["loss_total"])
             if it % args.log_interval == 0:
                 vals = {k: round(float(v), 3) for k, v in losses.items()}
-                rss = resource.getrusage(
-                    resource.RUSAGE_SELF).ru_maxrss / 1e6
+                # current VmRSS, not ru_maxrss: the peak counter survives
+                # os.execv so it would mask the auto-chunk reset
+                rss = chunked.current_rss_gb()
                 print(f"epoch {epoch} iter {it} ({time.time()-t0:.0f}s, "
                       f"rss {rss:.1f}G) {json.dumps(vals)}", flush=True)
                 gc.collect()
