@@ -71,7 +71,7 @@ optimizer = dict(type="SGD", lr=0.001, momentum=0.9, weight_decay=0.0001)
 optimizer_config = dict(grad_clip=dict(max_norm=35, norm_type=2))
 lr_config = dict(policy="step", warmup="linear", warmup_iters=5,
                  warmup_ratio=0.1, step=[2])
-total_epochs = 3
+total_epochs = 2
 tpu = dict(compute_dtype="float32", canvas_buckets=[(128, 128)],
            max_pos=64)
 """
@@ -118,7 +118,7 @@ class TestArgvWithFlags:
 
 def test_train_cli_auto_chunks_to_completion(tmp_path):
     """tools/train.py with --rss_limit_gb far below baseline RSS must
-    re-exec (os.execv) at every epoch boundary and still finish all 3
+    re-exec (os.execv) at every epoch boundary and still finish both
     epochs in one command, resuming from the per-epoch checkpoint."""
     from orientedreppoints_tpu.data.synth import generate_synth_dota
     from orientedreppoints_tpu.devkit.dota2coco import dota2coco_train
@@ -149,11 +149,12 @@ def test_train_cli_auto_chunks_to_completion(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     log = open(osp.join(work_dir, "train.log")).read()
-    # one re-exec per non-final epoch boundary (epochs 0->1 and 1->2);
-    # the log file is appended to across execs, so both lines survive
-    assert log.count("[chunked] host RSS") == 2, log[-3000:]
-    assert log.count("resumed from") == 2, log[-3000:]
-    for ep in (0, 1, 2):
+    # one re-exec at the single non-final epoch boundary (0 -> 1); the
+    # log file is appended to across execs, so both processes' lines
+    # survive
+    assert log.count("[chunked] host RSS") == 1, log[-3000:]
+    assert log.count("resumed from") == 1, log[-3000:]
+    for ep in (0, 1):
         assert f"epoch {ep} done" in log
     assert "training finished" in log
     ckpts = os.listdir(osp.join(work_dir, "ckpts"))
