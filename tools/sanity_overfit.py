@@ -26,6 +26,12 @@ def main():
     p.add_argument("--img", type=int, default=256)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--lr", type=float, default=0.005)
+    p.add_argument("--backbone", default="r18",
+                   choices=["r18", "r50", "r101", "hrnet", "ssd_vgg",
+                            "swin"],
+                   help="backbone family to overfit — cheap trains-at-all "
+                        "evidence for every model family, not just the "
+                        "benchmarked R-18/R-50/Swin")
     args = p.parse_args()
 
     import jax
@@ -81,8 +87,16 @@ def main():
         "img_hw": jnp.full((B, 2), IMG, jnp.int32),
     }
 
-    model = OrientedRepPointsDetector(depth=18, num_classes=16,
-                                      dtype=jnp.bfloat16)
+    bb = {
+        "r18": dict(depth=18),
+        "r50": dict(depth=50),
+        "r101": dict(depth=101),
+        "hrnet": dict(backbone_type="hrnet"),
+        "ssd_vgg": dict(backbone_type="ssd_vgg"),
+        "swin": dict(backbone_type="swin"),
+    }[args.backbone]
+    model = OrientedRepPointsDetector(num_classes=16, dtype=jnp.bfloat16,
+                                      **bb)
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3), jnp.float32)
     )
