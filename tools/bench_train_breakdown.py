@@ -1,11 +1,12 @@
 #!/usr/bin/env python
-"""Stage-by-stage train-step timing on the chip (R-50 @1024², B=2,
-full APAA loss).
+"""Stage-by-stage train-step timing on the chip (R-50 @1024², full APAA
+loss; batch size from ORP_BD_BATCH, default 2).
 
 Nested prefixes: forward → +loss (no grad) → +backward (value_and_grad)
 → +optimizer update (= full step).  Same hygiene as bench_breakdown.py
 (chained lax.map over pre-staged disjoint batches, one scalar fetch).
 """
+import os
 import os.path as osp
 import sys
 import time
@@ -24,8 +25,10 @@ from orientedreppoints_tpu.parallel import (
     TrainState, build_optimizer, lr_schedule, make_train_step,
 )
 
-B = 2
-ITERS = 5
+B = int(os.environ.get("ORP_BD_BATCH", "2"))
+# Large B needs fewer device-staged batches: the bwd stage's grad graph
+# plus 2*ITERS staged batches must fit HBM together (B8 OOMs at 5).
+ITERS = int(os.environ.get("ORP_BD_ITERS", "5"))
 rng = np.random.RandomState(0)
 model = OrientedRepPointsDetector(depth=50, num_classes=16,
                                   dtype=jnp.bfloat16)
