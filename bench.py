@@ -27,7 +27,11 @@ import time
 import numpy as np
 
 V100_BASELINE_PATCHES_PER_S = 12.0
-BATCH = 4
+# B8 adopted from the same-process interleaved batch A/B
+# (tools/bench_batch_ab.py, v5e): B4 64.8 / B8 73.8 / B16 37.5
+# patches/s/chip medians — B8 amortizes the per-dispatch DCN gather
+# overhead; B16 collapses (HBM pressure serializes the pyramid tables).
+BATCH = 8
 WARMUP = 3
 ITERS = 10
 
