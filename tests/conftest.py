@@ -25,8 +25,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the geometry/assignment graphs are large and
 # recompile across test processes otherwise
-jax.config.update("jax_compilation_cache_dir", "/tmp/orp_jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("ORP_TEST_CACHE", "/tmp/orp_jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+if os.environ.get("ORP_TEST_NOOPT"):
+    # the unit tests validate NUMERICS/semantics, not codegen quality; on a
+    # cold cache the XLA:CPU optimization passes dominate suite wall time
+    # (the train-step graphs take minutes each) — same lever as
+    # __graft_entry__.dryrun_multichip
+    jax.config.update("jax_disable_most_optimizations", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
