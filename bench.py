@@ -82,13 +82,23 @@ def main():
     dt = time.time() - t0
     patches_per_s = BATCH * ITERS / dt
 
-    # FLOPs/MFU from XLA's cost analysis of the SAME jitted executable
-    # (jit caches by (fn, shapes), so .lower().compile() here reuses the
-    # compilation from the call above — the timed graph is untouched)
+    # FLOPs/MFU from XLA's cost analysis of a LOOP-FREE one-batch graph:
+    # infer_many's lax.map lowers to a while loop whose body cost analysis
+    # counts ONCE, so analyzing the timed executable undercounts ~ITERSx
+    # (ADVICE r4). Lower jax.jit(infer_one) on a single (BATCH,...) input
+    # instead and scale: per-patch = flops/BATCH, achieved = flops*ITERS/dt.
+    # The timed graph above is untouched.
     extra = {}
     try:
-        comp = infer_many.lower(variables, timed_batches).compile()
-        ca = comp.cost_analysis()
+        lowered = jax.jit(infer_one).lower(variables, timed_batches[0])
+        ca = None
+        try:
+            ca = lowered.cost_analysis()
+        except Exception:
+            ca = None
+        if not ca or not float((ca[0] if isinstance(ca, (list, tuple))
+                                else ca).get("flops", 0.0) or 0.0):
+            ca = lowered.compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = float(ca.get("flops", 0.0))
         if flops > 0:
@@ -97,10 +107,10 @@ def main():
             peaks = {"v4": 275e12, "v5 lite": 197e12, "v5e": 197e12,
                      "v5p": 459e12, "v6e": 918e12, "v6 lite": 918e12}
             peak = next((v for k, v in peaks.items() if k in kind), 197e12)
-            achieved = flops / dt
+            achieved = flops * ITERS / dt
             extra = {
-                "total_gflops": round(flops / 1e9, 1),
-                "gflops_per_patch": round(flops / 1e9 / (BATCH * ITERS), 1),
+                "total_gflops": round(flops * ITERS / 1e9, 1),
+                "gflops_per_patch": round(flops / 1e9 / BATCH, 1),
                 "achieved_tflops_per_s": round(achieved / 1e12, 2),
                 "mfu_pct": round(100.0 * achieved / peak, 2),
                 "device_kind": jax.devices()[0].device_kind,

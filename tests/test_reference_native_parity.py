@@ -51,6 +51,32 @@ pytestmark = pytest.mark.skipif(
     not osp.isdir(REF), reason="reference checkout not mounted"
 )
 
+# Content pins for the UNTRUSTED reference sources compiled below (ADVICE
+# r4): executing native code from the public checkout is the point of the
+# harness, but only the exact sources that were audited — a modified
+# checkout fails loudly here instead of running arbitrary code at test time.
+_REF_SHA256 = {
+    "mmdet/ops/nms/src/rnms_cpu.cpp":
+        "b6092fcf071446e0b930dac1e829ddb2f03db9751b491295eca076f1d9063e06",
+    "mmdet/ops/nms/src/nms_cpu.cpp":
+        "a538f959cc126a4bfd613e34b53605a1635f9cce1e469d09e71370adaec7634a",
+    "DOTA_devkit/polyiou.cpp":
+        "ffbe0459419f962ce1695cd4c49beacb97b95ca42381f244da91f5b56dcb301a",
+}
+
+
+def _pinned_source(rel: str) -> str:
+    import hashlib
+
+    path = osp.join(REF, rel)
+    with open(path, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    assert digest == _REF_SHA256[rel], (
+        f"reference source {rel} changed (sha256 {digest}); re-audit before "
+        "compiling it as a test fixture"
+    )
+    return path
+
 
 def _restore_sys_modules(saved):
     """Surgical sys.modules restore (same rationale as the helper in
@@ -80,14 +106,14 @@ def ref_rnms():
     """rnms_cpu.cpp compiled verbatim (torch 2.x still accepts its
     deprecated .data<T>()/.type() calls)."""
     return _cpp_ext(
-        "orp_ref_rnms_cpu", osp.join(REF, "mmdet/ops/nms/src/rnms_cpu.cpp")
+        "orp_ref_rnms_cpu", _pinned_source("mmdet/ops/nms/src/rnms_cpu.cpp")
     )
 
 
 @pytest.fixture(scope="module")
 def ref_nms():
     return _cpp_ext(
-        "orp_ref_nms_cpu", osp.join(REF, "mmdet/ops/nms/src/nms_cpu.cpp")
+        "orp_ref_nms_cpu", _pinned_source("mmdet/ops/nms/src/nms_cpu.cpp")
     )
 
 
@@ -98,7 +124,7 @@ def ref_polyiou():
     build = osp.join(BUILD_ROOT, "polyiou")
     os.makedirs(build, exist_ok=True)
     so = osp.join(build, "libref_polyiou.so")
-    src = osp.join(REF, "DOTA_devkit/polyiou.cpp")
+    src = _pinned_source("DOTA_devkit/polyiou.cpp")
     wrapper = osp.join(build, "wrapper.cpp")
     if not osp.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
         with open(wrapper, "w") as f:

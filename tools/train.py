@@ -152,7 +152,10 @@ def main():
     step_fn = make_train_step(model, loss_cfg, mesh=mesh, img_norm=img_norm)
 
     ckpt_dir = osp.join(work_dir, "ckpts")
-    it = 0
+    # run-global iteration: derive from the restored optimizer step so
+    # --max_iters and the finish log stay global across auto-chunk re-execs
+    # (ADVICE r4 — a fresh `it = 0` made --max_iters per-chunk)
+    it = int(state.step)
     for epoch in range(start_epoch, total_epochs):
         t_ep = time.time()
         for batch in loader:
