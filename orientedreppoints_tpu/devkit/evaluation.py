@@ -206,6 +206,7 @@ def eval_maoe(
     imagesetfile_or_names,
     classnames=util.DOTA10_CLASSES,
     ovthresh: float = 0.5,
+    return_mod90: bool = False,
 ):
     """Mean absolute orientation error over TPs (mAOE_evaluation.py:48-171).
 
@@ -223,9 +224,18 @@ def eval_maoe(
     The reference's main() evaluates at ovthresh=0.7 (mAOE_evaluation.py
     :199 'set 0.7 as default'); pass that for published-number parity.
     Returns (mAOE_degrees, {class: aoe}).
+
+    With return_mod90=True additionally returns the CONVENTION-FREE error
+    folded into [0, 45] deg — min(e mod 90, 90 - e mod 90) — as
+    (mAOE, {class: aoe}, mAOE_mod90, {class: aoe_mod90}).  The scored
+    number keeps exact reference semantics (incl. the ~90deg near-square
+    longest-edge flips); the mod90 number separates real angle error from
+    that evaluator-convention noise (VERDICT r4 weak #7,
+    tools/analyze_angle_tail.py decomposition).
     """
     imagenames = _imagenames(imagesetfile_or_names)
     per_class = {}
+    per_class_mod90 = {}
     for c in classnames:
         class_recs, _ = _load_gt(annopath, imagenames, c)
         image_ids, confidence, BB = _load_dets(detpath.format(c))
@@ -253,9 +263,16 @@ def eval_maoe(
                 errors.append(abs(th_d - th_g) * 57.32)
         if errors:
             per_class[c] = float(np.mean(errors))
+            folded = np.minimum(np.mod(errors, 90.0),
+                                90.0 - np.mod(errors, 90.0))
+            per_class_mod90[c] = float(np.mean(folded))
     if not per_class:
-        return 0.0, {}
-    return float(np.mean(list(per_class.values()))), per_class
+        return (0.0, {}, 0.0, {}) if return_mod90 else (0.0, {})
+    maoe = float(np.mean(list(per_class.values())))
+    if not return_mod90:
+        return maoe, per_class
+    maoe_mod90 = float(np.mean(list(per_class_mod90.values())))
+    return maoe, per_class, maoe_mod90, per_class_mod90
 
 
 def _imagenames(src):

@@ -41,6 +41,30 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute tests (flagship DP invariance, subprocess CLI "
+        "chunking) — excluded by default; run with ORP_SLOW_TESTS=1 or "
+        "-m slow",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default/slow tier split (VERDICT r4 weak #6): the default tier must
+    stay fast; the slow tier (ORP_SLOW_TESTS=1, or an explicit -m
+    selection) keeps the flagship DP-invariance pair and the subprocess
+    CLI tests runnable in CI."""
+    if os.environ.get("ORP_SLOW_TESTS") or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: set ORP_SLOW_TESTS=1 (or -m slow) to run"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)

@@ -12,6 +12,8 @@ re-execs — the run must still complete all epochs through the resume path.
 import os
 import os.path as osp
 import subprocess
+
+import pytest
 import sys
 
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
@@ -116,6 +118,7 @@ class TestArgvWithFlags:
         assert not called
 
 
+@pytest.mark.slow
 def test_train_cli_auto_chunks_to_completion(tmp_path):
     """tools/train.py with --rss_limit_gb far below baseline RSS must
     re-exec (os.execv) at every epoch boundary and still finish both

@@ -193,6 +193,14 @@ class TestMergeAndEval:
                                     classnames=used)
         assert maoe < 5.0, per_class  # tile-clipping jitters angles slightly
 
+        # mod90 companion: folded error <= scored error per class, and a
+        # synthetic 89.5deg flip folds to 0.5 (min(e%90, 90-e%90))
+        m, pc, m90, pc90 = eval_maoe(detpath, annopath, ["P0001"],
+                                     classnames=used, return_mod90=True)
+        assert m == maoe and pc == per_class
+        for c, v in pc90.items():
+            assert v <= pc[c] + 1e-9 and 0.0 <= v <= 45.0
+
 
 class TestVocAp:
     def test_perfect_pr(self):

@@ -11,6 +11,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 
 def _free_port() -> int:
     """Ask the kernel for a free port (bind 0, read it back, release)."""
@@ -123,6 +125,7 @@ def test_single_process_coordinator_init():
     assert "DIST_OK 1" in proc.stdout
 
 
+@pytest.mark.slow
 def test_flagship_dp_loss_invariance():
     """Flagship-configuration DP invariance (moved here from the driver's
     dryrun_multichip, which is now sized for the driver's time budget):

@@ -12,6 +12,8 @@ import json
 import os
 import os.path as osp
 import subprocess
+
+import pytest
 import sys
 
 import numpy as np
@@ -72,6 +74,7 @@ tpu = dict(compute_dtype="float32", canvas_buckets=[(128, 128)])
 """
 
 
+@pytest.mark.slow
 def test_tools_test_cli_end_to_end(tmp_path):
     from orientedreppoints_tpu.data.synth import generate_synth_dota
     from orientedreppoints_tpu.devkit.dota2coco import dota2coco_train
@@ -116,6 +119,7 @@ def test_tools_test_cli_end_to_end(tmp_path):
     assert txts, "no Task1 txts written"
 
 
+@pytest.mark.slow
 def test_tools_test_cli_tta(tmp_path):
     """--ms_tta + --flip_tta goes through the sharded TTA merge path."""
     from orientedreppoints_tpu.data.synth import generate_synth_dota
