@@ -86,9 +86,23 @@ def main():
         err = abs(th_d - th_g) * 57.32  # the evaluator's scored error
         m = (err % 90.0)
         err_mod90 = min(m, 90.0 - m)
+        # mod180 separates the two >45deg failure shapes: a near-180 scored
+        # error with SMALL mod180 is a branch WRAP (det/gt at opposite ends
+        # of the evaluator's [-45,135) angle range, orientation actually
+        # correct — the reference applies no wrap, quirk mirrored in
+        # eval_maoe); mod180 ~ 90 is a genuine TRANSPOSITION (long axis
+        # perpendicular to gt)
+        m180 = err % 180.0
+        err_mod180 = min(m180, 180.0 - m180)
         rg, rd = edge_ratio(gt), edge_ratio(bb)
-        rows.append(dict(err=err, err_mod90=err_mod90, gt_ratio=rg,
-                         det_ratio=rd,
+        rows.append(dict(err=err, err_mod90=err_mod90, err_mod180=err_mod180,
+                         gt_ratio=rg, det_ratio=rd,
+                         wrap=bool(err > 45.0 and err_mod180 < 20.0),
+                         # only meaningful for clearly-elongated gts: a
+                         # mod180~90 flip on a near-square gt is the
+                         # documented longest-edge convention, not a
+                         # detector transposition
+                         transposed=bool(err_mod180 >= 45.0 and rg >= 1.25),
                          straddle=(rg < 1.15) != (rd < 1.15)))
 
     buckets = [(1.0, 1.15), (1.15, 1.25), (1.25, 10.0)]
@@ -97,6 +111,11 @@ def main():
            if rows else None,
            "mod90_mAOE": round(float(np.mean(
                [r["err_mod90"] for r in rows])), 2) if rows else None,
+           "n_wrap": int(sum(bool(r["wrap"]) for r in rows)),
+           "n_transposed": int(sum(bool(r["transposed"]) for r in rows)),
+           "scored_mAOE_excl_wrap": round(float(np.mean(
+               [r["err"] for r in rows if not r["wrap"]])), 2)
+           if any(not r["wrap"] for r in rows) else None,
            "buckets": []}
     for lo, hi in buckets:
         sel = [r for r in rows if lo <= r["gt_ratio"] < hi]
