@@ -126,6 +126,35 @@ class LoadImageFromFile:
 
 
 @register
+class Corrupt:
+    """Apply an image corruption right after load (robustness benchmark).
+
+    Mirrors the reference's Corrupt transform
+    (mmdet/datasets/pipelines/transforms.py:979-998), which
+    tools/test_robustness.py:326-330 inserts into the test pipeline per
+    (corruption, severity) setting; the corruption library itself is
+    data/corruptions.py (imagecorruptions-equivalent, seeded)."""
+
+    def __init__(self, corruption: str, severity: int = 1, seed: int = 0):
+        self.corruption = corruption
+        self.severity = severity
+        self.seed = seed
+
+    def __call__(self, results):
+        from .corruptions import corrupt
+
+        if self.severity <= 0:
+            return results
+        # per-image deterministic rng: same image -> same corruption
+        rng = np.random.RandomState(
+            (hash(results.get("filename", "")) ^ self.seed) & 0x7FFFFFFF)
+        results["img"] = corrupt(
+            results["img"].astype(np.uint8), self.corruption,
+            self.severity, rng=rng)
+        return results
+
+
+@register
 class LoadAnnotations:
     def __init__(self, with_bbox: bool = True):
         self.with_bbox = with_bbox

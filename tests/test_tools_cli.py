@@ -153,3 +153,47 @@ def test_tools_test_cli_tta(tmp_path):
     out = np.load(str(tmp_path / "res.npz"))
     names = {k.split("|")[0] for k in out.files}
     assert names == {"S0000", "S0001"}
+
+
+@pytest.mark.slow
+def test_tools_robustness_cli(tmp_path):
+    """tools/test_robustness.py end-to-end: clean baseline P + corrupted
+    settings via the Corrupt pipeline stage, P/mPC/rPC JSON artifact
+    (reference tools/test_robustness.py + robustness_eval.py surface)."""
+    from orientedreppoints_tpu.data.synth import generate_synth_dota
+    from orientedreppoints_tpu.devkit.dota2coco import dota2coco_train
+
+    generate_synth_dota(str(tmp_path / "raw"), 2, size=128, n_objects=4)
+    ann = str(tmp_path / "test.json")
+    dota2coco_train(str(tmp_path / "raw"), ann)
+
+    cfg_path = tmp_path / "cfg.py"
+    cfg = _CFG.replace("{ann}", ann).replace(
+        "{imgs}", str(tmp_path / "raw" / "images") + "/")
+    # test_robustness evaluates cfg.data["val"]
+    cfg += "\ndata['val'] = dict(data['test'])\n"
+    cfg_path.write_text(cfg)
+
+    env = dict(os.environ)
+    env.update({
+        "ORP_PLATFORM": "cpu",
+        "ORP_JAX_CACHE": "/tmp/orp_jax_cache",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "ORP_SCAN_BLK": "32",
+    })
+    out_json = str(tmp_path / "robust.json")
+    proc = subprocess.run(
+        [sys.executable, osp.join(REPO, "tools", "test_robustness.py"),
+         str(cfg_path), "--corruptions", "gaussian_noise", "pixelate",
+         "--severities", "3", "--max_images", "2", "--out", out_json],
+        capture_output=True, text=True, timeout=1800, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    with open(out_json) as f:
+        res = json.load(f)
+    assert res["metric"] == "robustness_mPC"
+    assert set(res["per_setting"]) == {"gaussian_noise@3", "pixelate@3"}
+    for key in ("P", "mPC", "rPC"):
+        assert isinstance(res[key], float)
+    combined = proc.stdout + proc.stderr
+    assert "clean baseline P" in combined
