@@ -104,6 +104,151 @@ def run_inference(
     return results
 
 
+def run_inference_tta(
+    model, variables, dataset, test_cfg, tta_augs: Sequence[tuple],
+    canvas=(1344, 1344), batch_size: int = 2, max_images: int | None = None,
+    num_fg: int = 15,
+):
+    """Multi-scale/flip TTA inference -> {image_name: [(k, 9) per class]}.
+
+    aug_test parity (reference orientedreppoints_detector.py:111-144 +
+    MultiScaleFlipAug, mmdet/datasets/pipelines/test_aug.py:8): decode every
+    aug without NMS, map each back into the original frame (unflip in the
+    aug frame, undo its scale: rbbox_mapping_back), then one merged rnms.
+
+    tta_augs: list of (relative_scale, flip) pairs, e.g. the reference's
+    78.11 recipe shape [(0.5, False), (0.5, True), (1.0, False), ...].
+    Host-side canvas prep for batch k+1 overlaps device compute of batch k
+    (JAX async dispatch), so the loop pays ~max(host_prep, device) per
+    batch (TTA_BENCH.json: 112 ms host vs 180 ms device at B=2).
+
+    The reference runs each scale at its own resolution (variable torch
+    shapes); a jitted TPU graph needs ONE static shape, so the compute
+    canvas is expanded to fit the LARGEST scale (rounded up to /64) and
+    every aug's content sits top-left at its own scale — nothing is
+    cropped at r > 1, and the padded remainder scores ~0 and falls to the
+    score_thr cut in the merged rnms.
+    """
+    import cv2
+
+    from .models import decode_no_nms, merge_aug_and_nms
+    from .parallel import data_mesh, round_up_batch, shard_infer
+
+    mesh = data_mesh()
+    batch_size = round_up_batch(batch_size, mesh)
+    num_augs = len(tta_augs)
+    aug_flips = [f for _, f in tta_augs]
+
+    def _infer_tta_core(v, imgs_augs, sf_augs):
+        """imgs_augs: (A, B, H, W, 3) canvases; sf_augs: (A, B)."""
+        boxes_a, scores_a = [], []
+        for ai, flip in enumerate(aug_flips):
+            x = imgs_augs[ai]
+            if flip:
+                x = x[:, :, ::-1]
+            b, s = decode_no_nms(model.apply(v, x),
+                                 nms_pre=test_cfg["nms_pre"])
+            boxes_a.append(b)
+            scores_a.append(s)
+        boxes_all = jnp.stack(boxes_a, axis=1)  # (B, A, N, 8)
+        scores_all = jnp.stack(scores_a, axis=1)
+        img_shape = (imgs_augs.shape[2], imgs_augs.shape[3])
+
+        def per_image(args_):
+            bb, ss, sf = args_  # (A,N,8), (A,N,C+1), (A,)
+            return merge_aug_and_nms(
+                [bb[a] for a in range(num_augs)],
+                [ss[a] for a in range(num_augs)],
+                aug_flips, img_shape,
+                [sf[a] for a in range(num_augs)],
+                score_thr=test_cfg["score_thr"],
+                iou_thr=test_cfg["nms"]["iou_thr"],
+                max_per_img=test_cfg["max_per_img"],
+                pre_nms_cap=test_cfg.get("pre_nms_cap", 4096),
+            )
+
+        return jax.lax.map(per_image, (boxes_all, scores_all, sf_augs.T))
+
+    infer_tta = shard_infer(_infer_tta_core, mesh, batch_axes=(1, 1))
+
+    n = len(dataset) if max_images is None else min(max_images, len(dataset))
+    ch, cw = tuple(canvas)
+    rmax = max([r for r, _ in tta_augs] + [1.0])
+    eh = int(np.ceil(ch * rmax / 64.0)) * 64
+    ew = int(np.ceil(cw * rmax / 64.0)) * 64
+
+    def prep_batch(lo):
+        idxs = list(range(lo, min(lo + batch_size, n)))
+        imgs, sfs, names = [], [], []
+        for i in idxs:
+            s = dataset[i]
+            img = s["img"]
+            c = np.zeros((ch, cw, 3), np.float32)
+            c[: img.shape[0], : img.shape[1]] = img
+            imgs.append(c)
+            sfs.append(
+                float(np.asarray(s.get("scale_factor", 1.0)).reshape(-1)[0]))
+            names.append(osp.splitext(s["img_info"]["file_name"])[0])
+        while len(imgs) < batch_size:
+            imgs.append(np.zeros_like(imgs[0]))
+            sfs.append(1.0)
+            names.append(None)
+        bsz = len(imgs)
+        imgs_augs = np.zeros((num_augs, bsz, eh, ew, 3), np.float32)
+        sf_augs = np.zeros((num_augs, bsz), np.float32)
+        for ai, (r, _) in enumerate(tta_augs):
+            for bi in range(bsz):
+                if r == 1.0:
+                    imgs_augs[ai, bi, :ch, :cw] = imgs[bi]
+                else:
+                    rh, rw = int(round(ch * r)), int(round(cw * r))
+                    resized = cv2.resize(imgs[bi], (rw, rh),
+                                         interpolation=cv2.INTER_LINEAR)
+                    # the expanded canvas fits rmax, so nothing is cropped
+                    imgs_augs[ai, bi, :rh, :rw] = resized
+                sf_augs[ai, bi] = sfs[bi] * r
+        return imgs_augs, sf_augs, names
+
+    results = {}
+
+    def collect(pending):
+        (dets, labels, valid), names = pending
+        dets, labels, valid = map(np.asarray, (dets, labels, valid))
+        for bi, name in enumerate(names):
+            if name is None:
+                continue
+            keep = valid[bi]
+            results[name] = rbbox2result(
+                dets[bi][keep][:, -9:], labels[bi][keep], num_fg + 1
+            )
+
+    pending = None
+    for lo in range(0, n, batch_size):
+        imgs_augs, sf_augs, names = prep_batch(lo)
+        out = infer_tta(variables, jnp.asarray(imgs_augs),
+                        jnp.asarray(sf_augs))
+        if pending is not None:
+            collect(pending)
+        pending = (out, names)
+    if pending is not None:
+        collect(pending)
+    return results
+
+
+def parse_tta_spec(ms_tta: str | None, flip_tta: bool):
+    """CLI TTA flags -> [(relative_scale, flip)] aug list or None.
+
+    MultiScaleFlipAug parity: every scale, optionally x both orientations.
+    """
+    if ms_tta:
+        scales = [float(s) for s in ms_tta.split(",")]
+        flips = (False, True) if flip_tta else (False,)
+        return [(r, f) for r in scales for f in flips]
+    if flip_tta:
+        return [(1.0, False), (1.0, True)]
+    return None
+
+
 def evaluate_results(results: dict, dataset, iou_thr: float = 0.5,
                      use_07_metric: bool = True):
     """In-memory tile-level oriented mAP against the dataset annotations.

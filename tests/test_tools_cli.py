@@ -145,7 +145,7 @@ def test_tools_test_cli_tta(tmp_path):
     proc = subprocess.run(
         [sys.executable, osp.join(REPO, "tools", "test.py"),
          str(cfg_path), "--batch_size", "2",
-         "--ms_tta", "0.75,1.0", "--flip_tta",
+         "--ms_tta", "0.75,1.0,1.25", "--flip_tta",
          "--out", str(tmp_path / "res.npz")],
         capture_output=True, text=True, timeout=1500, env=env,
     )

@@ -70,6 +70,13 @@ def parse_args():
                         "run is ONE command despite the axon H2D leak; "
                         "<=0 disables")
     p.add_argument("--log_interval", type=int, default=50)
+    p.add_argument("--flip_tta", action="store_true",
+                   help="ALSO score a flip-TTA pass of the same checkpoint "
+                        "(apis.run_inference_tta) and report the delta")
+    p.add_argument("--ms_tta",
+                   help="comma-separated relative scales for a multi-scale"
+                        "(+flip with --flip_tta) TTA pass, e.g. "
+                        "'0.5,1.0,1.5' — the reference 78.11 recipe shape")
     return p.parse_args()
 
 
@@ -258,8 +265,9 @@ def train(args, cfg):
     return model, {"params": state.params, "batch_stats": state.batch_stats}
 
 
-def evaluate(args, cfg, model, variables, val_names):
-    from orientedreppoints_tpu.apis import run_inference
+def evaluate(args, cfg, model, variables, val_names, tta_augs=None,
+             suffix=""):
+    from orientedreppoints_tpu.apis import run_inference, run_inference_tta
     from orientedreppoints_tpu.data.synth import (
         SYNTH_CLASS_SPECS, SYNTH_HARD_CLASS_SPECS,
     )
@@ -276,16 +284,23 @@ def evaluate(args, cfg, model, variables, val_names):
     tpu = cfg.get("tpu", {})
     canvas = tuple(tpu.get("canvas_buckets", [(512, 512)])[-1])
     val_ds = builder.build_dataset({**cfg.data["test"], "test_mode": True})
-    print(f"inference over {len(val_ds)} val tiles ...", flush=True)
+    print(f"inference over {len(val_ds)} val tiles "
+          f"(tta={tta_augs}) ...", flush=True)
     t0 = time.time()
-    results = run_inference(
-        model, variables, val_ds, cfg.test_cfg, canvas=canvas,
-        num_fg=len(val_ds.CLASSES),
-    )
+    if tta_augs is not None:
+        results = run_inference_tta(
+            model, variables, val_ds, cfg.test_cfg, tta_augs, canvas=canvas,
+            num_fg=len(val_ds.CLASSES),
+        )
+    else:
+        results = run_inference(
+            model, variables, val_ds, cfg.test_cfg, canvas=canvas,
+            num_fg=len(val_ds.CLASSES),
+        )
     print(f"inference done in {time.time()-t0:.0f}s", flush=True)
 
-    raw = osp.join(wd, "task1_raw")
-    merged = osp.join(wd, "task1_merged")
+    raw = osp.join(wd, "task1_raw" + suffix)
+    merged = osp.join(wd, "task1_merged" + suffix)
     # num_process=1: jax is initialized in this process and os.fork() from
     # a multithreaded parent can deadlock
     write_task1_results(results, DOTA10_CLASSES, raw)
@@ -379,6 +394,25 @@ def main():
         "per_class_aoe": {k: round(v, 2) for k, v in aoes.items()},
         **extra,
     }
+
+    from orientedreppoints_tpu.apis import parse_tta_spec
+
+    tta_augs = parse_tta_spec(args.ms_tta, args.flip_tta)
+    if tta_augs is not None:
+        # same checkpoint, TTA pass (aug_test parity) — the reference's
+        # headline 78.11 is a multi-scale+flip recipe (reference
+        # README.md:31 + mmdet/datasets/pipelines/test_aug.py:8)
+        mAP_t, aps_t, mAOE_t, _, extra_t = evaluate(
+            args, cfg, model, variables, val_names, tta_augs=tta_augs,
+            suffix="_tta")
+        out["tta"] = {
+            "augs": [list(a) for a in tta_augs],
+            "mAP": round(mAP_t, 4),
+            "mAOE_deg": round(mAOE_t, 2),
+            "per_class_ap": {k: round(v, 4) for k, v in aps_t.items()},
+            "mAOE_mod90_deg": extra_t.get("mAOE_mod90_deg"),
+        }
+        out["tta_mAP_delta"] = round(mAP_t - mAP, 4)
     print(json.dumps(out), flush=True)
     with open(osp.join(args.work_dir, "synth_eval.json"), "w") as f:
         json.dump(out, f, indent=2)

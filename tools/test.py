@@ -110,97 +110,30 @@ def main():
 
     infer = shard_infer(_infer_core, mesh, batch_axes=(0, 0))
 
-    # TTA spec: list of (relative_scale, flip) augs (MultiScaleFlipAug
-    # parity: every scale, optionally x both orientations)
-    tta_augs = None
-    if args.ms_tta:
-        scales = [float(s) for s in args.ms_tta.split(",")]
-        flips = (False, True) if args.flip_tta else (False,)
-        tta_augs = [(r, f) for r in scales for f in flips]
-    elif args.flip_tta:
-        tta_augs = [(1.0, False), (1.0, True)]
+    # TTA: shared aug_test path (apis.run_inference_tta — the same code
+    # tools/synth_benchmark.py scores the flagship TTA delta with)
+    from orientedreppoints_tpu.apis import parse_tta_spec, run_inference_tta
 
-    if tta_augs is not None:
-        # aug_test parity (orientedreppoints_detector.py:111-144): decode
-        # every aug without NMS, map back (unflip in the aug frame, undo
-        # its scale: rbbox_mapping_back), one merged rnms
-        from orientedreppoints_tpu.models import (
-            decode_no_nms, merge_aug_and_nms,
-        )
-
-        num_augs = len(tta_augs)
-        aug_flips = [f for _, f in tta_augs]
-
-        def _infer_tta_core(v, imgs_augs, sf_augs):
-            """imgs_augs: (A, B, H, W, 3) canvases; sf_augs: (A, B)."""
-            boxes_a, scores_a = [], []
-            for ai, flip in enumerate(aug_flips):
-                x = imgs_augs[ai]
-                if flip:
-                    x = x[:, :, ::-1]
-                b, s = decode_no_nms(model.apply(v, x),
-                                     nms_pre=tc["nms_pre"])
-                boxes_a.append(b)
-                scores_a.append(s)
-            boxes_all = jnp.stack(boxes_a, axis=1)  # (B, A, N, 8)
-            scores_all = jnp.stack(scores_a, axis=1)
-            img_shape = (imgs_augs.shape[2], imgs_augs.shape[3])
-
-            def per_image(args_):
-                bb, ss, sf = args_  # (A,N,8), (A,N,C+1), (A,)
-                return merge_aug_and_nms(
-                    [bb[a] for a in range(num_augs)],
-                    [ss[a] for a in range(num_augs)],
-                    aug_flips, img_shape,
-                    [sf[a] for a in range(num_augs)],
-                    score_thr=tc["score_thr"], iou_thr=tc["nms"]["iou_thr"],
-                    max_per_img=tc["max_per_img"],
-                    pre_nms_cap=tc.get("pre_nms_cap", 4096),
-                )
-
-            return jax.lax.map(
-                per_image, (boxes_all, scores_all, sf_augs.T)
-            )
-
-        infer_tta = shard_infer(_infer_tta_core, mesh, batch_axes=(1, 1))
-
-        def infer(v, imgs, scale_factor):
-            """Build per-aug canvases host-side, run the jitted TTA path.
-
-            imgs: (B, H, W, 3) already-padded canvases at pipeline scale;
-            scale_factor: (B, 1, 1) pipeline resize factors.
-            """
-            import cv2
-
-            imgs = np.asarray(imgs)
-            sfs = np.asarray(scale_factor).reshape(-1)
-            bsz, ch, cw = imgs.shape[0], imgs.shape[1], imgs.shape[2]
-            imgs_augs = np.zeros((num_augs, bsz, ch, cw, 3), np.float32)
-            sf_augs = np.zeros((num_augs, bsz), np.float32)
-            for ai, (r, _) in enumerate(tta_augs):
-                for bi in range(bsz):
-                    if r == 1.0:
-                        imgs_augs[ai, bi] = imgs[bi]
-                    else:
-                        rh, rw = int(round(ch * r)), int(round(cw * r))
-                        resized = cv2.resize(
-                            imgs[bi], (rw, rh),
-                            interpolation=cv2.INTER_LINEAR,
-                        )
-                        # r > 1 crops bottom/right overflow (content sits
-                        # top-left on the canvas)
-                        imgs_augs[ai, bi, : min(rh, ch), : min(rw, cw)] = (
-                            resized[:ch, :cw]
-                        )
-                    sf_augs[ai, bi] = sfs[bi] * r
-            return infer_tta(v, jnp.asarray(imgs_augs),
-                             jnp.asarray(sf_augs))
+    tta_augs = parse_tta_spec(args.ms_tta, args.flip_tta)
 
     n = len(dataset) if args.max_images is None else min(
         args.max_images, len(dataset))
-    results = {}
     num_fg = len(dataset.CLASSES)
     t0 = time.time()
+
+    if tta_augs is not None:
+        log.info("TTA augs: %s", tta_augs)
+        results = run_inference_tta(
+            model, variables, dataset, tc, tta_augs, canvas=canvas,
+            batch_size=args.batch_size, max_images=args.max_images,
+            num_fg=num_fg,
+        )
+        dt = time.time() - t0
+        log.info("%d imgs in %.1fs (%.2f img/s)", n, dt, n / max(dt, 1e-9))
+        emit_outputs(args, results, dataset, log)
+        return
+
+    results = {}
     bs = round_up_batch(args.batch_size, mesh)
     if bs != args.batch_size:
         log.info("batch_size %d -> %d (multiple of %d devices)",
@@ -256,7 +189,11 @@ def main():
         collect(pending)
     dt = time.time() - t0
     log.info("%d imgs in %.1fs (%.2f img/s)", n, dt, n / max(dt, 1e-9))
+    emit_outputs(args, results, dataset, log)
 
+
+def emit_outputs(args, results, dataset, log):
+    """--out / --eval / --format_task1 handling shared by both paths."""
     if args.out:
         np.savez_compressed(
             args.out,
