@@ -63,7 +63,10 @@ tpu = dict(
     compute_dtype="bfloat16",
     canvas_buckets=[(1024, 1024)],
     # 1024^2 tiles of 2048^2 scenes carry ~4x the objects of the 512 run's
-    # tiles, and mosaic stacks 4 tiles' worth of gt into one sample
+    # tiles, and mosaic stacks 4 tiles' worth of gt into one sample;
+    # measured refine positives ~2k/sample at this density (overflow_pos
+    # logs), so the APAA candidate cap is 2048 (residual overflow falls
+    # on compact_positives' unbiased subsample, not a raster prefix)
     max_gt=256,
-    max_pos=1024,
+    max_pos=2048,
 )

@@ -59,11 +59,27 @@ class PosCandidates(NamedTuple):
 
 
 def compact_positives(gt_inds, level_ids, max_pos: int) -> PosCandidates:
-    """Gather up to max_pos positive points into a fixed-size candidate set."""
+    """Gather up to max_pos positive points into a fixed-size candidate set.
+
+    When the positives exceed max_pos, the survivors are an UNBIASED
+    fixed pseudo-random subset (Knuth multiplicative hash of the global
+    index as the drop priority), NOT the raster prefix: a prefix cap
+    systematically drops every coarse-level positive (large objects —
+    levels order after the stride-8 plane in the flat layout) and the
+    bottom rows of the fine level whenever a dense 1024^2 mosaic sample
+    overflows, silently starving those gts of refine supervision.  The
+    surviving subset is re-sorted to global-index order so downstream
+    tie-breaking (stable argsorts in sample_selection) matches the
+    reference's index ordering exactly when no overflow occurs.
+    """
     pos = gt_inds > 0
-    # stable order by global index (matches the reference's index ordering)
-    score = jnp.where(pos, jnp.arange(gt_inds.shape[0]), 2**30)
-    idx = jnp.argsort(score)[:max_pos]
+    arange = jnp.arange(gt_inds.shape[0], dtype=jnp.uint32)
+    # Knuth multiplicative hash (uint32 wraparound) as the fixed priority
+    prio = (arange * jnp.uint32(2654435761)) & jnp.uint32(0x7FFFFFFF)
+    score = jnp.where(pos, prio, jnp.uint32(0xFFFFFFFF))
+    sel = jnp.argsort(score)[:max_pos]
+    # restore the reference's global-index ordering among survivors
+    idx = jnp.sort(sel)
     mask = pos[idx]
     return PosCandidates(
         idx=idx.astype(jnp.int32),

@@ -99,6 +99,27 @@ class TestCompaction:
         cand = compact_positives(gt_inds, level_ids, max_pos=4)
         assert np.asarray(cand.mask).sum() == 4
 
+    def test_overflow_cap_is_unbiased_across_levels(self):
+        """A raster-prefix cap would keep ONLY fine-level positives; the
+        hashed subsample must keep coarse-level ones too (large objects
+        starve otherwise) and stay deterministic."""
+        n0, n1 = 4096, 256
+        gt_inds = jnp.ones((n0 + n1,), jnp.int32)
+        level_ids = jnp.concatenate([
+            jnp.zeros((n0,), jnp.int32), jnp.ones((n1,), jnp.int32)])
+        cand = compact_positives(gt_inds, level_ids, max_pos=512)
+        mask = np.asarray(cand.mask)
+        lvl = np.asarray(cand.level)[mask]
+        assert mask.sum() == 512
+        # expected level-1 share = 512 * 256/4352 ~= 30; a prefix keeps 0
+        assert (lvl == 1).sum() > 10
+        # survivors in global-index order (reference tie-break ordering)
+        idx = np.asarray(cand.idx)[mask]
+        assert (np.diff(idx) > 0).all()
+        cand2 = compact_positives(gt_inds, level_ids, max_pos=512)
+        np.testing.assert_array_equal(idx, np.asarray(cand2.idx)[
+            np.asarray(cand2.mask)])
+
 
 class TestOverflowCounter:
     """max_pos-boundary semantics through the full loss (VERDICT r1 weak #4):
