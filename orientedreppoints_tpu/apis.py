@@ -124,7 +124,7 @@ def run_inference_tta(
 
     The reference runs each scale at its own resolution (variable torch
     shapes); a jitted TPU graph needs ONE static shape, so the compute
-    canvas is expanded to fit the LARGEST scale (rounded up to /64) and
+    canvas is expanded to fit the LARGEST scale (rounded up to /32) and
     every aug's content sits top-left at its own scale — nothing is
     cropped at r > 1, and the padded remainder scores ~0 and falls to the
     score_thr cut in the merged rnms.
@@ -173,9 +173,12 @@ def run_inference_tta(
 
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
     ch, cw = tuple(canvas)
+    # /32 (the pipeline size_divisor): for rmax == 1.0 this leaves any
+    # stock canvas untouched, so the single-identity-aug recipe runs on
+    # EXACTLY the plain-path canvas (same nms_pre candidate pool)
     rmax = max([r for r, _ in tta_augs] + [1.0])
-    eh = int(np.ceil(ch * rmax / 64.0)) * 64
-    ew = int(np.ceil(cw * rmax / 64.0)) * 64
+    eh = int(np.ceil(ch * rmax / 32.0)) * 32
+    ew = int(np.ceil(cw * rmax / 32.0)) * 32
 
     def prep_batch(lo):
         idxs = list(range(lo, min(lo + batch_size, n)))
