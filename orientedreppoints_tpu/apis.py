@@ -122,12 +122,19 @@ def run_inference_tta(
     (JAX async dispatch), so the loop pays ~max(host_prep, device) per
     batch (TTA_BENCH.json: 112 ms host vs 180 ms device at B=2).
 
-    The reference runs each scale at its own resolution (variable torch
-    shapes); a jitted TPU graph needs ONE static shape, so the compute
-    canvas is expanded to fit the LARGEST scale (rounded up to /32) and
-    every aug's content sits top-left at its own scale — nothing is
-    cropped at r > 1, and the padded remainder scores ~0 and falls to the
-    score_thr cut in the merged rnms.
+    Each SCALE runs on its own /32 canvas that its content fills, like the
+    reference's native-resolution aug pipeline — one jitted graph per
+    scale (flip variants share it).  A single max-scale canvas is NOT
+    sound here: at the 0.5x aug the content would cover ~1/9 of the
+    canvas and GroupNorm statistics (taken over the full padded extent)
+    amplify the content activations ~3x, which measurably corrupts the
+    scores (flagship run: 3-scale TTA scored mAP 0.866 vs 0.983 plain;
+    storage-tank 0.64, helicopter 0.45).  Per-scale canvases also cost
+    0.25+1+2.25 area-units instead of 3 x 2.25.  Per-scale candidate
+    counts differ, so each scale's decode is zero-padded to the largest
+    N before stacking — zero-score rows fall to the score_thr cut inside
+    the merged rnms.  Identity is preserved: a (1.0, False) aug runs on
+    exactly the plain-path canvas.
     """
     import cv2
 
@@ -137,29 +144,48 @@ def run_inference_tta(
     mesh = data_mesh()
     batch_size = round_up_batch(batch_size, mesh)
     num_augs = len(tta_augs)
-    aug_flips = [f for _, f in tta_augs]
+    ch, cw = tuple(canvas)
 
-    def _infer_tta_core(v, imgs_augs, sf_augs):
-        """imgs_augs: (A, B, H, W, 3) canvases; sf_augs: (A, B)."""
-        boxes_a, scores_a = [], []
-        for ai, flip in enumerate(aug_flips):
-            x = imgs_augs[ai]
-            if flip:
-                x = x[:, :, ::-1]
-            b, s = decode_no_nms(model.apply(v, x),
-                                 nms_pre=test_cfg["nms_pre"])
-            boxes_a.append(b)
-            scores_a.append(s)
-        boxes_all = jnp.stack(boxes_a, axis=1)  # (B, A, N, 8)
-        scores_all = jnp.stack(scores_a, axis=1)
-        img_shape = (imgs_augs.shape[2], imgs_augs.shape[3])
+    def ceil32(x):
+        return int(np.ceil(x / 32.0)) * 32
+
+    # group augs by scale, preserving recipe order inside each group
+    scales = list(dict.fromkeys(r for r, _ in tta_augs))
+    scale_canvas = {r: (ceil32(ch * r), ceil32(cw * r)) for r in scales}
+    scale_augs = {
+        r: [(ai, f) for ai, (rr, f) in enumerate(tta_augs) if rr == r]
+        for r in scales
+    }
+    # the flip-unmap frame for each aug is ITS scale's canvas
+    aug_shapes = [scale_canvas[r] for r, _ in tta_augs]
+
+    def make_scale_core(r):
+        flips = [f for _, f in scale_augs[r]]
+
+        def core(v, imgs):
+            """imgs: (B, sh, sw, 3) -> ((B, Af, N_r, 8), (B, Af, N_r, C+1))."""
+            bs, ss = [], []
+            for flip in flips:
+                x = imgs[:, :, ::-1] if flip else imgs
+                b_, s_ = decode_no_nms(model.apply(v, x),
+                                       nms_pre=test_cfg["nms_pre"])
+                bs.append(b_)
+                ss.append(s_)
+            return jnp.stack(bs, axis=1), jnp.stack(ss, axis=1)
+
+        return shard_infer(core, mesh, batch_axes=(0,))
+
+    scale_infer = {r: make_scale_core(r) for r in scales}
+
+    def merge_core(v, boxes_all, scores_all, sf_augs):
+        """boxes_all (B, A, N, 8), scores_all (B, A, N, C+1), sf (B, A)."""
 
         def per_image(args_):
-            bb, ss, sf = args_  # (A,N,8), (A,N,C+1), (A,)
+            bb, ss, sf = args_
             return merge_aug_and_nms(
                 [bb[a] for a in range(num_augs)],
                 [ss[a] for a in range(num_augs)],
-                aug_flips, img_shape,
+                [f for _, f in tta_augs], aug_shapes,
                 [sf[a] for a in range(num_augs)],
                 score_thr=test_cfg["score_thr"],
                 iou_thr=test_cfg["nms"]["iou_thr"],
@@ -167,18 +193,11 @@ def run_inference_tta(
                 pre_nms_cap=test_cfg.get("pre_nms_cap", 4096),
             )
 
-        return jax.lax.map(per_image, (boxes_all, scores_all, sf_augs.T))
+        return jax.lax.map(per_image, (boxes_all, scores_all, sf_augs))
 
-    infer_tta = shard_infer(_infer_tta_core, mesh, batch_axes=(1, 1))
+    merge_infer = shard_infer(merge_core, mesh, batch_axes=(0, 0, 0))
 
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
-    ch, cw = tuple(canvas)
-    # /32 (the pipeline size_divisor): for rmax == 1.0 this leaves any
-    # stock canvas untouched, so the single-identity-aug recipe runs on
-    # EXACTLY the plain-path canvas (same nms_pre candidate pool)
-    rmax = max([r for r, _ in tta_augs] + [1.0])
-    eh = int(np.ceil(ch * rmax / 32.0)) * 32
-    ew = int(np.ceil(cw * rmax / 32.0)) * 32
 
     def prep_batch(lo):
         idxs = list(range(lo, min(lo + batch_size, n)))
@@ -197,20 +216,22 @@ def run_inference_tta(
             sfs.append(1.0)
             names.append(None)
         bsz = len(imgs)
-        imgs_augs = np.zeros((num_augs, bsz, eh, ew, 3), np.float32)
-        sf_augs = np.zeros((num_augs, bsz), np.float32)
-        for ai, (r, _) in enumerate(tta_augs):
+        scale_imgs = {}
+        for r in scales:
+            sh, sw = scale_canvas[r]
+            arr = np.zeros((bsz, sh, sw, 3), np.float32)
             for bi in range(bsz):
                 if r == 1.0:
-                    imgs_augs[ai, bi, :ch, :cw] = imgs[bi]
+                    arr[bi, :ch, :cw] = imgs[bi]
                 else:
                     rh, rw = int(round(ch * r)), int(round(cw * r))
-                    resized = cv2.resize(imgs[bi], (rw, rh),
-                                         interpolation=cv2.INTER_LINEAR)
-                    # the expanded canvas fits rmax, so nothing is cropped
-                    imgs_augs[ai, bi, :rh, :rw] = resized
-                sf_augs[ai, bi] = sfs[bi] * r
-        return imgs_augs, sf_augs, names
+                    arr[bi, :rh, :rw] = cv2.resize(
+                        imgs[bi], (rw, rh), interpolation=cv2.INTER_LINEAR)
+            scale_imgs[r] = arr
+        sf_augs = np.asarray(
+            [[sfs[bi] * r for r, _ in tta_augs] for bi in range(bsz)],
+            np.float32)  # (B, A)
+        return scale_imgs, sf_augs, names
 
     results = {}
 
@@ -227,9 +248,33 @@ def run_inference_tta(
 
     pending = None
     for lo in range(0, n, batch_size):
-        imgs_augs, sf_augs, names = prep_batch(lo)
-        out = infer_tta(variables, jnp.asarray(imgs_augs),
-                        jnp.asarray(sf_augs))
+        scale_imgs, sf_augs, names = prep_batch(lo)
+        per_aug_boxes = [None] * num_augs
+        per_aug_scores = [None] * num_augs
+        for r in scales:
+            b_r, s_r = scale_infer[r](variables, jnp.asarray(scale_imgs[r]))
+            # to host: the pad/stack below stays in numpy (eager dispatch
+            # through the axon tunnel is ~0.5 s/op; these are a few MB)
+            b_r, s_r = np.asarray(b_r), np.asarray(s_r)
+            for slot, (ai, _) in enumerate(scale_augs[r]):
+                per_aug_boxes[ai] = b_r[:, slot]
+                per_aug_scores[ai] = s_r[:, slot]
+        # pad each aug's candidate row count to the recipe-wide max with
+        # inert zero-score rows, then stack to (B, A, N, .)
+        n_max = max(b.shape[1] for b in per_aug_boxes)
+
+        def pad_rows(x):
+            pad = n_max - x.shape[1]
+            if pad == 0:
+                return x
+            return np.concatenate(
+                [x, np.zeros((x.shape[0], pad) + x.shape[2:], x.dtype)],
+                axis=1)
+
+        boxes_all = np.stack([pad_rows(b) for b in per_aug_boxes], axis=1)
+        scores_all = np.stack([pad_rows(s) for s in per_aug_scores], axis=1)
+        out = merge_infer(variables, jnp.asarray(boxes_all),
+                          jnp.asarray(scores_all), jnp.asarray(sf_augs))
         if pending is not None:
             collect(pending)
         pending = (out, names)
@@ -269,6 +314,11 @@ def evaluate_results(results: dict, dataset, iou_thr: float = 0.5,
         osp.splitext(info["file_name"])[0]: i
         for i, info in enumerate(dataset.img_infos)
     }
+    # score ONLY the images that were actually inferred: a capped/subset
+    # run (EvalHook max_images, tools/test_robustness.py) must not count
+    # the un-inferred tiles' gts as misses — that silently dilutes mAP by
+    # the subset fraction
+    name_to_idx = {n: i for n, i in name_to_idx.items() if n in results}
     aps = {}
     for ci, cname in enumerate(dataset.CLASSES):
         # gather gt

@@ -128,3 +128,28 @@ class TestRunInferenceSharded:
             assert len(per_class) == 15  # per-foreground-class arrays
             for arr in per_class:
                 assert arr.ndim == 2 and arr.shape[1] == 9
+
+
+class TestSubsetScoring:
+    def test_uninferred_images_do_not_dilute_map(self):
+        """A capped run (EvalHook max_images / test_robustness subset)
+        scores ONLY the inferred images: gts of images absent from
+        `results` must not count as misses.  Regression: a 36-of-108
+        subset scored mAP ~0.33 on a checkpoint whose full eval was
+        0.98 — exactly the subset fraction."""
+        ds = FakeDataset([
+            dict(bboxes=box(50, 50, 30, 20)[None],
+                 labels=np.array([1], np.int64)),
+            dict(bboxes=box(60, 60, 30, 20)[None],
+                 labels=np.array([1], np.int64)),
+            dict(bboxes=box(70, 70, 30, 20)[None],
+                 labels=np.array([1], np.int64)),
+        ])
+        # only img0 was inferred, perfectly
+        results = {
+            "img0": [det_row(box(50, 50, 30, 20), 0.9),
+                     np.zeros((0, 9), np.float32)],
+        }
+        mAP, aps = evaluate_results(results, ds, use_07_metric=False)
+        assert aps["plane"] == 1.0
+        assert mAP == 1.0

@@ -37,7 +37,10 @@ variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                 jnp.zeros((1, 1024, 1024, 3), jnp.float32))
 params = variables["params"]
 tx = build_optimizer(params, lr_schedule(iters_per_epoch=100))
-cfg = LossConfig(max_pos=1024)
+# max_pos tracks the adopted flagship train config (synth_r50_1024_hard_aug:
+# 2048 since the unbiased-cap change; measured refine positives ~2k/sample
+# at 1024^2 mosaic density)
+cfg = LossConfig(max_pos=2048)
 
 
 def batch(seed, b):

@@ -61,6 +61,12 @@ def parse_args():
                         "is always evaluated once, like the reference")
     p.add_argument("--max_images", type=int, default=100)
     p.add_argument("--out", help="path for the JSON artifact")
+    p.add_argument("--data_root",
+                   help="rewrite the val split's ann_file/img_prefix onto "
+                        "this root (<root>/val_split/{test.json,images/}, "
+                        "the tools/synth_benchmark.py work_dir layout) — "
+                        "lets one config score checkpoints trained into "
+                        "any work_dir")
     return p.parse_args()
 
 
@@ -72,6 +78,13 @@ def main():
     model, variables, cfg = init_detector(args.config, args.checkpoint)
     tpu = cfg.get("tpu", {})
     canvas = tuple(tpu.get("canvas_buckets", [(1344, 1344)])[-1])
+    if args.data_root:
+        for split in ("val", "test"):
+            if split in cfg.data:
+                cfg.data[split]["ann_file"] = osp.join(
+                    args.data_root, "val_split", "test.json")
+                cfg.data[split]["img_prefix"] = osp.join(
+                    args.data_root, "val_split", "images/")
 
     def eval_setting(corr: str | None, sev: int) -> float:
         pipeline = [dict(s) for s in cfg.data["val"]["pipeline"]]
